@@ -1,0 +1,294 @@
+"""Matrix-free Laplace operator (partial assembly) + full assembly + norms.
+
+TPU-native replacement for MFEM's ``(Par)BilinearForm + DiffusionIntegrator``
+in both assembly modes the reference uses: full sparse assembly
+(``Solvers/PF_linear_par.cpp:117-119``) and matrix-free
+``AssemblyLevel::PARTIAL`` (``Solvers/PF_linear_par_partial.cpp:118-121``),
+plus ``FormLinearSystem``/``RecoverFEMSolution`` essential-dof elimination
+(``:155,166``), ``OperatorJacobiSmoother`` diagonal extraction (``:124``),
+``ComputeL2Error`` (``Solvers/laplace_solver.cpp:136-138``) and
+``GridFunction::GetDerivative`` (``Solvers/PF_linear_serial.cpp:175``).
+
+TPU-first design: two apply paths.
+
+1. ``mode="sumfact"`` — classic sum-factorized tensor contractions
+   (O(p^4) flops/elem), expressed as einsums XLA maps to batched matmuls.
+2. ``mode="fused"`` — the gradient-interpolation matrix ``Jr [3*q^3, (p+1)^3]``
+   is materialized once and the apply becomes two large matmuls
+   ``[E, L] @ [L, 3Q]`` with L = (p+1)^3 ≈ 125 at p=4. That trades O(p^6)
+   flops for near-perfect 128x128 MXU tiling — the opposite trade MFEM makes
+   on CPUs, and the faster one on TPU for moderate p.
+
+Both read the same precomputed geometric factors
+``G[e, q, i, j] = w_q |J| J^{-1} J^{-T}`` (the standard PA setup).
+"""
+
+from __future__ import annotations
+
+from functools import cached_property, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .elements import basis_1d
+from .mesh import HEX_VERTS
+from .space import H1Space
+
+__all__ = ["LaplacePA", "geometric_factors", "nodal_z_derivative"]
+
+# lattice-lex (x fastest) position of each MFEM hex corner
+_LEX_OF_VERT = np.array([0, 1, 3, 2, 4, 5, 7, 6])
+
+
+def _geom_basis(q: int):
+    """Order-1 geometry basis at the q quadrature points: (B1 [q,2], D1 [q,2])."""
+    b = basis_1d(1, q)
+    return b.B, b.D
+
+
+def geometric_factors(space: H1Space, q: int | None = None, dtype=jnp.float64):
+    """Precompute PA geometric data.
+
+    Returns (G [ne, Q, 3, 3], wdetJ [ne, Q], xq [ne, Q, 3]) with
+    Q = q^3 quadrature points per element flattened C-order over (qz, qy, qx).
+    Host NumPy in float64, cast to ``dtype`` on return.
+    """
+    p = space.p
+    if q is None:
+        q = p + 1
+    b = basis_1d(p, q)
+    B1, D1 = _geom_basis(q)
+    qw = b.qwts
+
+    # corners in lattice-lex order -> [ne, 2(z), 2(y), 2(x), 3]
+    cc = space.mesh.corner_coords[:, _LEX_OF_VERT, :].reshape(-1, 2, 2, 2, 3)
+
+    def t3(u, Az, Ay, Ax):
+        return np.einsum("cz,by,ax,ezyxd->ecbad", Az, Ay, Ax, u, optimize=True)
+
+    dXdx = t3(cc, B1, B1, D1)   # dX/dxi_x at quad pts, [ne,q,q,q,3]
+    dXdy = t3(cc, B1, D1, B1)
+    dXdz = t3(cc, D1, B1, B1)
+    J = np.stack([dXdx, dXdy, dXdz], axis=-1)  # [ne,q,q,q, 3(coord i), 3(ref j)]
+    ne = J.shape[0]
+    J = J.reshape(ne, q ** 3, 3, 3)
+
+    detJ = np.linalg.det(J)
+    if np.any(detJ <= 0):
+        raise ValueError("non-positive Jacobian determinant in mesh geometry")
+    Jinv = np.linalg.inv(J)                     # [ne,Q,3,3]  (Jinv[i,j] = dxi_i/dx_j)
+    w3 = np.einsum("c,b,a->cba", qw, qw, qw).reshape(-1)
+    wdetJ = detJ * w3[None, :]
+    # G = w |J| Jinv Jinv^T  (contract over physical coordinate index)
+    G = np.einsum("eqik,eqjk,eq->eqij", Jinv, Jinv, wdetJ, optimize=True)
+
+    # physical quad-point coords (for analytic errors)
+    B3 = np.einsum("cz,by,ax->cbazyx", B1, B1, B1).reshape(q ** 3, 8)
+    xq = np.einsum("qk,ekd->eqd", B3, space.mesh.corner_coords[:, _LEX_OF_VERT, :])
+
+    return (jnp.asarray(G, dtype=dtype), jnp.asarray(wdetJ, dtype=dtype),
+            jnp.asarray(xq, dtype=dtype))
+
+
+def _grad_interp_matrix(p: int, q: int) -> np.ndarray:
+    """Jr [3, q^3, (p+1)^3]: reference-gradient interpolation, C-order (z,y,x)."""
+    b = basis_1d(p, q)
+    B, D = b.B, b.D
+    g_x = np.einsum("cz,by,ax->cbazyx", B, B, D)
+    g_y = np.einsum("cz,by,ax->cbazyx", B, D, B)
+    g_z = np.einsum("cz,by,ax->cbazyx", D, B, B)
+    L = (p + 1) ** 3
+    Q = q ** 3
+    return np.stack([g.reshape(Q, L) for g in (g_x, g_y, g_z)], axis=0)
+
+
+class LaplacePA:
+    """Matrix-free Laplace (stiffness) operator on an :class:`H1Space`.
+
+    All heavy state is device arrays; ``apply`` is pure and jit-friendly.
+    """
+
+    def __init__(self, space: H1Space, q: int | None = None,
+                 dtype=jnp.float64, mode: str = "fused"):
+        p = space.p
+        if q is None:
+            q = p + 1
+        self.space = space
+        self.p, self.q = p, q
+        self.dtype = dtype
+        self.mode = mode
+        self.n_dofs = space.n_dofs
+        self.elem_dofs = jnp.asarray(space.elem_dofs)
+        self.G, self.wdetJ, self.xq = geometric_factors(space, q, dtype)
+        b = basis_1d(p, q)
+        self.B = jnp.asarray(b.B, dtype=dtype)
+        self.D = jnp.asarray(b.D, dtype=dtype)
+        self.Jr = jnp.asarray(_grad_interp_matrix(p, q), dtype=dtype)  # [3,Q,L]
+
+    # ------------------------------------------------------------------ apply
+    def apply_local(self, x: jax.Array) -> jax.Array:
+        """Element-local apply: gather -> grad -> G -> grad^T. Returns
+        per-element contributions [ne, L] (the E-vector form, pre-scatter)."""
+        u = x[self.elem_dofs]                                # [ne, L]
+        if self.mode == "fused":
+            g = jnp.einsum("iql,el->eqi", self.Jr, u)         # [ne,Q,3]
+            Gg = jnp.einsum("eqij,eqj->eqi", self.G, g)
+            return jnp.einsum("iql,eqi->el", self.Jr, Gg)
+        # sum-factorized path
+        p1, q = self.p + 1, self.q
+        ne = u.shape[0]
+        uz = u.reshape(ne, p1, p1, p1)                        # [e, z, y, x]
+        B, D = self.B, self.D
+
+        def t3(v, Az, Ay, Ax):
+            return jnp.einsum("cz,by,ax,ezyx->ecba", Az, Ay, Ax, v)
+
+        gx = t3(uz, B, B, D)
+        gy = t3(uz, B, D, B)
+        gz = t3(uz, D, B, B)
+        g = jnp.stack([gx, gy, gz], axis=-1).reshape(ne, q ** 3, 3)
+        Gg = jnp.einsum("eqij,eqj->eqi", self.G, g).reshape(ne, q, q, q, 3)
+
+        def t3t(v, Az, Ay, Ax):
+            return jnp.einsum("cz,by,ax,ecba->ezyx", Az, Ay, Ax, v)
+
+        y = (t3t(Gg[..., 0], B, B, D) + t3t(Gg[..., 1], B, D, B)
+             + t3t(Gg[..., 2], D, B, B))
+        return y.reshape(ne, p1 ** 3)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """y = A x on global dofs (scatter-add of the local apply)."""
+        ye = self.apply_local(x)
+        return jnp.zeros(self.n_dofs, dtype=x.dtype).at[self.elem_dofs].add(ye)
+
+    # --------------------------------------------------------------- diagonal
+    @cached_property
+    def diag(self) -> jax.Array:
+        """Assembled diagonal (MFEM ``OperatorJacobiSmoother`` source,
+        ``Solvers/PF_linear_par_partial.cpp:124``)."""
+        d_e = jnp.einsum("iql,eqij,jql->el", self.Jr, self.G, self.Jr)
+        return jnp.zeros(self.n_dofs, dtype=self.dtype).at[self.elem_dofs].add(d_e)
+
+    # ---------------------------------------------------- essential-dof forms
+    def constrained_apply(self, x: jax.Array, ess: jax.Array) -> jax.Array:
+        """Apply with identity rows/cols on essential dofs (the operator
+        ``FormLinearSystem`` produces)."""
+        x0 = x.at[ess].set(0.0)
+        y = self.apply(x0)
+        return y.at[ess].set(x[ess])
+
+    def constrained_rhs(self, b: jax.Array, ess: jax.Array,
+                        ess_vals: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """(B, X0): eliminated RHS and initial guess for the constrained
+        system — ``B = b - A x_bc`` on free dofs, ``x_bc`` on essential ones."""
+        x_bc = jnp.zeros(self.n_dofs, dtype=b.dtype).at[ess].set(ess_vals)
+        B = b - self.apply(x_bc)
+        B = B.at[ess].set(ess_vals)
+        return B, x_bc
+
+    # ------------------------------------------------------------------ norms
+    def interp_quad(self, x: jax.Array) -> jax.Array:
+        """Field values at quadrature points, [ne, Q]."""
+        p1, q = self.p + 1, self.q
+        u = x[self.elem_dofs].reshape(-1, p1, p1, p1)
+        v = jnp.einsum("cz,by,ax,ezyx->ecba", self.B, self.B, self.B, u)
+        return v.reshape(u.shape[0], q ** 3)
+
+    def l2_norm_sq(self, x: jax.Array) -> jax.Array:
+        v = self.interp_quad(x)
+        return jnp.sum(self.wdetJ * v * v)
+
+    def l2_error(self, x: jax.Array, exact_fn) -> jax.Array:
+        """L2 error against ``exact_fn(xq, yq, zq)`` evaluated at quad points
+        (MFEM ``ComputeL2Error`` semantics)."""
+        v = self.interp_quad(x)
+        ex = exact_fn(self.xq[..., 0], self.xq[..., 1], self.xq[..., 2])
+        d = v - ex
+        return jnp.sqrt(jnp.sum(self.wdetJ * d * d))
+
+    # ------------------------------------------------------------ full assembly
+    def element_matrices(self) -> jax.Array:
+        """Dense element stiffness matrices [ne, L, L] (full-assembly path,
+        MFEM ``BilinearForm::Assemble`` default,
+        ``Solvers/PF_linear_par.cpp:117-119``)."""
+        return jnp.einsum("iqk,eqij,jql->ekl", self.Jr, self.G, self.Jr)
+
+    def assemble_scipy(self):
+        """Assembled sparse matrix (host, SciPy CSR) for validation."""
+        import scipy.sparse as sp
+        Ae = np.asarray(self.element_matrices())
+        ed = self.space.elem_dofs
+        L = ed.shape[1]
+        rows = np.repeat(ed, L, axis=1).ravel()
+        cols = np.tile(ed, (1, L)).ravel()
+        A = sp.coo_matrix((Ae.ravel(), (rows, cols)),
+                          shape=(self.n_dofs, self.n_dofs))
+        return A.tocsr()
+
+
+class NodalZDerivative:
+    """w = d(phi)/dz projected onto the H1 nodes with shared-node averaging —
+    the semantics of MFEM ``GridFunction::GetDerivative(1, 2, w)``
+    (``Solvers/PF_linear_serial.cpp:175``): per-element nodal derivative,
+    arithmetically averaged over the elements sharing each node.
+
+    Geometry tables (inverse-Jacobian z-column at every element node) are
+    precomputed on host once; ``__call__`` is pure/jit-friendly.
+    """
+
+    def __init__(self, op: LaplacePA):
+        space = op.space
+        p = space.p
+        p1 = p + 1
+        b = basis_1d(p)
+        self.p1 = p1
+        self.op = op
+        self.Dn = jnp.asarray(b.Dn, dtype=op.dtype)
+        self.Bn = jnp.asarray(np.eye(p1), dtype=op.dtype)
+
+        # Jacobian at the element nodes from trilinear geometry (host)
+        B1n, D1n = _nodal_geom_basis(p)
+        cc = space.mesh.corner_coords[:, _LEX_OF_VERT, :].reshape(-1, 2, 2, 2, 3)
+
+        def t3g(u, Az, Ay, Ax):
+            return np.einsum("cz,by,ax,ezyxd->ecbad", Az, Ay, Ax, u, optimize=True)
+
+        ne = cc.shape[0]
+        J = np.stack([t3g(cc, B1n, B1n, D1n), t3g(cc, B1n, D1n, B1n),
+                      t3g(cc, D1n, B1n, B1n)], axis=-1).reshape(ne, p1 ** 3, 3, 3)
+        Jinv = np.linalg.inv(J)
+        # only the z-column is needed: grad_z = sum_i Jinv[i, 2] * ghat_i
+        self.Jinv_z = jnp.asarray(Jinv[..., 2], dtype=op.dtype)   # [ne, L, 3]
+        self.inv_mult = jnp.asarray(1.0 / space.node_mult, dtype=op.dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        op = self.op
+        p1 = self.p1
+        u = x[op.elem_dofs].reshape(-1, p1, p1, p1)
+        ne = u.shape[0]
+        Bn, Dn = self.Bn, self.Dn
+
+        def t3(v, Az, Ay, Ax):
+            return jnp.einsum("cz,by,ax,ezyx->ecba", Az, Ay, Ax, v)
+
+        gx = t3(u, Bn, Bn, Dn).reshape(ne, p1 ** 3)
+        gy = t3(u, Bn, Dn, Bn).reshape(ne, p1 ** 3)
+        gz = t3(u, Dn, Bn, Bn).reshape(ne, p1 ** 3)
+        ghat = jnp.stack([gx, gy, gz], axis=-1)                   # [ne, L, 3]
+        w_e = jnp.einsum("eli,eli->el", self.Jinv_z, ghat)
+
+        acc = jnp.zeros(op.n_dofs, dtype=x.dtype).at[op.elem_dofs].add(w_e)
+        return acc * self.inv_mult
+
+
+def nodal_z_derivative(op: LaplacePA, x: jax.Array) -> jax.Array:
+    """One-shot convenience wrapper around :class:`NodalZDerivative`."""
+    return NodalZDerivative(op)(x)
+
+
+def _nodal_geom_basis(p: int):
+    from .elements import lagrange_eval
+    b = basis_1d(p)
+    nodes1 = np.array([0.0, 1.0])
+    return lagrange_eval(nodes1, b.nodes)

@@ -1,0 +1,91 @@
+"""Jitted Krylov solvers + preconditioners.
+
+TPU-native replacement for MFEM's ``CGSolver``/``PCG`` and the
+preconditioners the reference pairs with them: ``GSSmoother``+PCG (serial,
+``Solvers/laplace_solver.cpp:112-113``), ``OperatorJacobiSmoother``+CG
+(partial assembly, ``Solvers/PF_linear_par_partial.cpp:124,157-164``), and
+``HypreBoomerAMG``+CG (full assembly, ``Solvers/laplace_solver_parallel.cpp:134-146``).
+
+Tolerance semantics match MFEM: convergence is on the *preconditioned*
+residual norm ``sqrt(r.z)``; the legacy ``PCG(..., RTOL, ATOL)`` helper
+compares ``r.z`` (a squared quantity) against ``max(rz0*RTOL, ATOL)``, while
+``CGSolver::SetRelTol(t)`` compares against ``rz0*t^2`` — both of which are
+covered by the single ``rtol_sq`` argument here (pass ``1e-24`` to mirror the
+reference's ``PCG(..., 1e-24, 0.0)`` calls, or ``rel_tol**2`` for
+``SetRelTol``).
+
+The entire CG loop is a ``lax.while_loop`` — one XLA computation per solve,
+no host round-trips per iteration (the MPI version pays an Allreduce per dot
+product; here the dots stay on-chip, and in the sharded version they are
+``psum`` over ICI inside the same program).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["CGResult", "pcg", "jacobi_preconditioner"]
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    rz: jax.Array       # final preconditioned residual norm squared (r.z)
+    rz0: jax.Array
+
+
+def _default_dot(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def pcg(apply_fn: Callable, b: jax.Array, x0: jax.Array,
+        precond_fn: Callable = lambda r: r,
+        rtol_sq: float = 1e-24, atol_sq: float = 0.0,
+        max_iter: int = 1000,
+        dot_fn: Callable = _default_dot) -> CGResult:
+    """Preconditioned conjugate gradients (Hestenes-Stiefel, MFEM update order).
+
+    ``dot_fn`` is a hook for distributed reductions: the sharded solver passes
+    a local-dot + ``lax.psum`` composition so the same loop runs under
+    ``shard_map`` unchanged.
+    """
+    r = b - apply_fn(x0)
+    z = precond_fn(r)
+    d = z
+    rz0 = dot_fn(r, z)
+    threshold = jnp.maximum(rz0 * rtol_sq, atol_sq)
+
+    def cond(state):
+        x, r, d, rz, it = state
+        return jnp.logical_and(rz > threshold, it < max_iter)
+
+    def body(state):
+        x, r, d, rz, it = state
+        Ad = apply_fn(d)
+        dAd = dot_fn(d, Ad)
+        # zero-denominator guards: if CG stagnates below the achievable
+        # floor (e.g. rtol beyond f64 round-off, as the reference's 1e-24
+        # squared tolerance sometimes is), hold the iterate instead of
+        # producing NaNs; the iteration then idles until max_iter.
+        alpha = jnp.where(dAd > 0, rz / jnp.where(dAd > 0, dAd, 1.0), 0.0)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = precond_fn(r)
+        rz_new = dot_fn(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        d = z + beta * d
+        return (x, r, d, rz_new, it + 1)
+
+    x, r, d, rz, it = jax.lax.while_loop(
+        cond, body, (x0, r, d, rz0, jnp.asarray(0, dtype=jnp.int32)))
+    return CGResult(x=x, iters=it, rz=rz, rz0=rz0)
+
+
+def jacobi_preconditioner(diag: jax.Array) -> Callable:
+    """Diagonal (Jacobi) preconditioner — MFEM ``OperatorJacobiSmoother``
+    over the assembled PA diagonal with essential dofs set to identity."""
+    inv = 1.0 / diag
+    return lambda r: r * inv

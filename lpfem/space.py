@@ -1,0 +1,341 @@
+"""H1 finite-element spaces: global dof numbering, boundary dofs, surface trace.
+
+TPU-native replacement for MFEM's ``(Par)FiniteElementSpace`` +
+``GetEssentialTrueDofs`` + ``SubMesh::CreateFromBoundary``/``Transfer``
+(reference: ``Solvers/PF_linear_par_partial.cpp:276-285``,
+``Solvers/PF_linear_serial.cpp:287-294``).
+
+Numbering is *topological* (vertex / edge / face / interior dofs with
+orientation canonicalization), computed once on host with vectorized NumPy.
+This handles periodic meshes for free — ``MakePeriodic`` identifies vertices,
+so seam dofs unify without any special casing (MFEM needs the L-dof/T-dof
+distinction for this; here T == the single global numbering).
+
+The device-side consumers are plain integer gather/scatter tables:
+``elem_dofs [n_elem, (p+1)^3]`` (the E-vector map) and
+``surf_to_vol [n_surf_dofs]`` (the SubMesh transfer map).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import numpy as np
+
+from .elements import basis_1d
+from .mesh import HEX_EDGES, HEX_FACES, HEX_VERTS, Mesh
+
+__all__ = ["H1Space", "SurfaceSpace", "build_hex_dofs", "build_quad_dofs"]
+
+QUAD_VERTS = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.int64)
+QUAD_EDGES = np.array([[0, 1], [1, 2], [2, 3], [3, 0]], dtype=np.int64)
+
+
+def _canonical_uv(r, s, p, k, fwd):
+    """Map face-interior lattice coords (r, s) to the canonical frame.
+
+    The canonical frame is anchored at the face corner with the smallest
+    global vertex id, first axis toward its smaller-id neighbor. Both elements
+    adjacent to a face agree on it, so face dofs are shared consistently
+    regardless of local orientation (the analogue of MFEM's face-orientation
+    DofTransformation machinery, but for tensor-product H1 it is a pure
+    index permutation).
+
+    k:   [n] argmin position of the corner cycle (0..3)
+    fwd: [n] bool, True if the forward cycle neighbor has the smaller id
+    """
+    u_f = np.choose(k, [np.full_like(k, r), np.full_like(k, s),
+                        np.full_like(k, p - r), np.full_like(k, p - s)])
+    v_f = np.choose(k, [np.full_like(k, s), np.full_like(k, p - r),
+                        np.full_like(k, p - s), np.full_like(k, r)])
+    u = np.where(fwd, u_f, v_f)
+    v = np.where(fwd, v_f, u_f)
+    return u, v
+
+
+def build_hex_dofs(elems: np.ndarray, n_verts: int, p: int):
+    """Global H1 dof numbering on a conforming hex mesh.
+
+    Returns ``(elem_dofs [ne, (p+1)^3] int64 in lattice-lex order (x fastest),
+    n_dofs, face_info)`` where ``face_info = (uniq_faces, face_id [ne, 6])``
+    for boundary lookups.
+    """
+    ne = elems.shape[0]
+    p1 = p + 1
+
+    def lat(ix, iy, iz):
+        return ix + p1 * (iy + p1 * iz)
+
+    # unique faces (always needed, for boundary lookup)
+    f_quads = elems[:, HEX_FACES]                          # [ne, 6, 4]
+    uniq_f, inv_f = np.unique(np.sort(f_quads, axis=2).reshape(-1, 4),
+                              axis=0, return_inverse=True)
+    face_id = inv_f.reshape(ne, 6)
+    nF = len(uniq_f)
+
+    elem_dofs = np.zeros((ne, p1 ** 3), dtype=np.int64)
+    for v, (vx, vy, vz) in enumerate(HEX_VERTS):
+        elem_dofs[:, lat(vx * p, vy * p, vz * p)] = elems[:, v]
+
+    n_dofs = n_verts
+    if p >= 2:
+        e_pairs = elems[:, HEX_EDGES]                      # [ne, 12, 2]
+        uniq_e, inv_e = np.unique(np.sort(e_pairs, axis=2).reshape(-1, 2),
+                                  axis=0, return_inverse=True)
+        edge_id = inv_e.reshape(ne, 12)
+        flip_e = e_pairs[:, :, 0] > e_pairs[:, :, 1]
+        nE = len(uniq_e)
+
+        for ei, (a, b) in enumerate(HEX_EDGES):
+            c0 = HEX_VERTS[a] * p
+            d = HEX_VERTS[b] - HEX_VERTS[a]
+            base = n_verts + edge_id[:, ei] * (p - 1)
+            for m in range(1, p):
+                node = c0 + m * d
+                mm = np.where(flip_e[:, ei], p - m, m)
+                elem_dofs[:, lat(*node)] = base + (mm - 1)
+
+        base_f = n_verts + nE * (p - 1)
+        ar = np.arange(ne)
+        for fi in range(6):
+            corners = HEX_FACES[fi]
+            ids = f_quads[:, fi, :]
+            k = np.argmin(ids, axis=1)
+            fwd = ids[ar, (k + 1) % 4] < ids[ar, (k - 1) % 4]
+            c0 = HEX_VERTS[corners[0]] * p
+            e1 = HEX_VERTS[corners[1]] - HEX_VERTS[corners[0]]
+            e2 = HEX_VERTS[corners[3]] - HEX_VERTS[corners[0]]
+            fbase = base_f + face_id[:, fi] * (p - 1) ** 2
+            for s in range(1, p):
+                for r in range(1, p):
+                    node = c0 + r * e1 + s * e2
+                    u, v = _canonical_uv(r, s, p, k, fwd)
+                    elem_dofs[:, lat(*node)] = fbase + (u - 1) + (p - 1) * (v - 1)
+
+        base_i = base_f + nF * (p - 1) ** 2
+        ibase = base_i + ar * (p - 1) ** 3
+        idx = 0
+        for iz in range(1, p):
+            for iy in range(1, p):
+                for ix in range(1, p):
+                    elem_dofs[:, lat(ix, iy, iz)] = ibase + idx
+                    idx += 1
+        n_dofs = base_i + ne * (p - 1) ** 3
+
+    return elem_dofs, n_dofs, (uniq_f, face_id)
+
+
+def build_quad_dofs(quads: np.ndarray, n_verts: int, p: int):
+    """Global H1 dof numbering on a conforming quad (2D) mesh.
+
+    Same scheme as :func:`build_hex_dofs`, one dimension down. Local node
+    ordering is lattice-lex (r fastest): ``n = r + (p+1)*s`` with corners
+    (0,0)->v0, (p,0)->v1, (p,p)->v2, (0,p)->v3.
+    """
+    nq = quads.shape[0]
+    p1 = p + 1
+
+    def lat(r, s):
+        return r + p1 * s
+
+    elem_dofs = np.zeros((nq, p1 ** 2), dtype=np.int64)
+    for v, (vx, vy) in enumerate(QUAD_VERTS):
+        elem_dofs[:, lat(vx * p, vy * p)] = quads[:, v]
+
+    n_dofs = n_verts
+    if p >= 2:
+        e_pairs = quads[:, QUAD_EDGES]                     # [nq, 4, 2]
+        uniq_e, inv_e = np.unique(np.sort(e_pairs, axis=2).reshape(-1, 2),
+                                  axis=0, return_inverse=True)
+        edge_id = inv_e.reshape(nq, 4)
+        flip_e = e_pairs[:, :, 0] > e_pairs[:, :, 1]
+        nE = len(uniq_e)
+        for ei, (a, b) in enumerate(QUAD_EDGES):
+            c0 = QUAD_VERTS[a] * p
+            d = QUAD_VERTS[b] - QUAD_VERTS[a]
+            base = n_verts + edge_id[:, ei] * (p - 1)
+            for m in range(1, p):
+                node = c0 + m * d
+                mm = np.where(flip_e[:, ei], p - m, m)
+                elem_dofs[:, lat(*node)] = base + (mm - 1)
+        base_i = n_verts + nE * (p - 1)
+        ibase = base_i + np.arange(nq) * (p - 1) ** 2
+        idx = 0
+        for s in range(1, p):
+            for r in range(1, p):
+                elem_dofs[:, lat(r, s)] = ibase + idx
+                idx += 1
+        n_dofs = base_i + nq * (p - 1) ** 2
+    return elem_dofs, n_dofs
+
+
+def _geom_weights(p: int) -> np.ndarray:
+    """Trilinear geometry weights at the (p+1)^3 GLL lattice: [(p+1)^3, 8]."""
+    gll = basis_1d(p).nodes
+    p1 = p + 1
+    W = np.zeros((p1 ** 3, 8))
+    for iz in range(p1):
+        for iy in range(p1):
+            for ix in range(p1):
+                n = ix + p1 * (iy + p1 * iz)
+                xi = np.array([gll[ix], gll[iy], gll[iz]])
+                for v, (vx, vy, vz) in enumerate(HEX_VERTS):
+                    W[n, v] = ((xi[0] if vx else 1 - xi[0])
+                               * (xi[1] if vy else 1 - xi[1])
+                               * (xi[2] if vz else 1 - xi[2]))
+    return W
+
+
+class H1Space:
+    """H1 Lagrange space of order ``p`` on a hex :class:`Mesh`."""
+
+    def __init__(self, mesh: Mesh, p: int):
+        self.mesh = mesh
+        self.p = p
+        self.elem_dofs, self.n_dofs, (self._uniq_faces, self._face_id) = \
+            build_hex_dofs(mesh.elems, mesh.n_verts, p)
+
+        # boundary face -> (element, local face) lookup
+        if len(mesh.bdr_quads):
+            bkeys = np.sort(mesh.bdr_quads, axis=1)
+            dt = np.dtype([("", bkeys.dtype)] * 4)
+            tab = np.ascontiguousarray(self._uniq_faces).view(dt).ravel()
+            q = np.ascontiguousarray(bkeys).view(dt).ravel()
+            fidx = np.searchsorted(tab, q)
+            ok = tab[np.clip(fidx, 0, len(tab) - 1)] == q
+            if not np.all(ok):
+                raise ValueError("boundary face not found in element faces")
+            # invert face_id -> (elem, local face): first adjacency wins
+            owner_e = np.full(len(self._uniq_faces), -1, dtype=np.int64)
+            owner_f = np.full(len(self._uniq_faces), -1, dtype=np.int64)
+            ne = mesh.n_elems
+            flat = self._face_id.ravel()
+            order = np.arange(len(flat))[::-1]
+            owner_e[flat[order]] = order // 6
+            owner_f[flat[order]] = order % 6
+            self.bdr_elem = owner_e[fidx]
+            self.bdr_face = owner_f[fidx]
+        else:
+            self.bdr_elem = np.zeros(0, dtype=np.int64)
+            self.bdr_face = np.zeros(0, dtype=np.int64)
+
+    # ------------------------------------------------------------- geometry
+    @cached_property
+    def elem_node_coords(self) -> np.ndarray:
+        """[ne, (p+1)^3, 3] physical coordinates of every element lattice node."""
+        W = _geom_weights(self.p)
+        return np.einsum("lk,ekd->eld", W, self.mesh.corner_coords)
+
+    @cached_property
+    def node_coords(self) -> np.ndarray:
+        """[n_dofs, 3] representative physical coordinates per dof.
+
+        For periodic meshes, seam dofs take one of their (equivalent modulo
+        the period) positions — fine for projecting periodic fields, which is
+        the only use (MFEM has the same representative-coordinate behavior
+        through its L-dof geometry).
+        """
+        X = np.zeros((self.n_dofs, 3))
+        flat = self.elem_dofs.ravel()[::-1]
+        X[flat] = self.elem_node_coords.reshape(-1, 3)[::-1]
+        return X
+
+    @cached_property
+    def node_mult(self) -> np.ndarray:
+        """[n_dofs] number of elements sharing each dof (for nodal averaging,
+        the MFEM ``GridFunction::GetDerivative`` semantics,
+        ``Solvers/PF_linear_serial.cpp:175``)."""
+        return np.bincount(self.elem_dofs.ravel(), minlength=self.n_dofs).astype(np.float64)
+
+    # ------------------------------------------------------------ boundaries
+    def boundary_faces(self, attrs) -> np.ndarray:
+        attrs = np.atleast_1d(np.asarray(attrs))
+        return np.where(np.isin(self.mesh.bdr_attrs, attrs))[0]
+
+    def face_lattice_dofs(self, belem: np.ndarray, bface: np.ndarray) -> np.ndarray:
+        """[nb, (p+1)^2] volume dofs of each boundary face, in the face's
+        2D lattice order (r fastest, corners c0..c3 = HEX_FACES cycle)."""
+        p, p1 = self.p, self.p + 1
+        out = np.zeros((len(belem), p1 ** 2), dtype=np.int64)
+        for fi in range(6):
+            sel = np.where(bface == fi)[0]
+            if not len(sel):
+                continue
+            corners = HEX_FACES[fi]
+            c0 = HEX_VERTS[corners[0]] * p
+            e1 = HEX_VERTS[corners[1]] - HEX_VERTS[corners[0]]
+            e2 = HEX_VERTS[corners[3]] - HEX_VERTS[corners[0]]
+            cols = np.zeros(p1 ** 2, dtype=np.int64)
+            for s in range(p1):
+                for r in range(p1):
+                    node = c0 + r * e1 + s * e2
+                    cols[r + p1 * s] = node[0] + p1 * (node[1] + p1 * node[2])
+            out[sel] = self.elem_dofs[np.ix_(belem[sel], cols)]
+        return out
+
+    def boundary_dofs(self, attrs) -> np.ndarray:
+        """Unique dofs on boundary faces with the given attributes — the
+        essential-true-dof list (MFEM ``GetEssentialTrueDofs``,
+        ``Solvers/PF_linear_par_partial.cpp:407-412``)."""
+        bsel = self.boundary_faces(attrs)
+        if not len(bsel):
+            return np.zeros(0, dtype=np.int64)
+        fd = self.face_lattice_dofs(self.bdr_elem[bsel], self.bdr_face[bsel])
+        return np.unique(fd)
+
+    def project(self, fn) -> np.ndarray:
+        """Nodal interpolation of ``fn(x, y, z)`` (MFEM ``ProjectCoefficient``)."""
+        X = self.node_coords
+        return np.asarray(fn(X[:, 0], X[:, 1], X[:, 2]), dtype=np.float64)
+
+
+class SurfaceSpace:
+    """Trace space on boundary faces with a given attribute.
+
+    The TPU-native form of MFEM's ``SubMesh::CreateFromBoundary`` +
+    bidirectional ``SubMesh::Transfer`` (``Solvers/PF_linear_serial.cpp:290``):
+    a standalone 2D H1 numbering over the boundary quads plus a single
+    gather/scatter index map ``surf_to_vol``.
+    """
+
+    def __init__(self, vol: H1Space, attr: int = 2):
+        self.vol = vol
+        self.p = vol.p
+        p, p1 = vol.p, vol.p + 1
+        bsel = vol.boundary_faces(attr)
+        if not len(bsel):
+            raise ValueError(f"no boundary faces with attribute {attr}")
+        belem = vol.bdr_elem[bsel]
+        bface = vol.bdr_face[bsel]
+        mesh = vol.mesh
+
+        # surface quads in volume-vertex ids, cyclic order of the local face
+        squads_vol = np.zeros((len(bsel), 4), dtype=np.int64)
+        for fi in range(6):
+            sel = np.where(bface == fi)[0]
+            if len(sel):
+                squads_vol[sel] = mesh.elems[np.ix_(belem[sel], HEX_FACES[fi])]
+        used = np.unique(squads_vol)
+        remap = np.full(mesh.n_verts, -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        squads = remap[squads_vol]
+
+        self.elem_dofs, self.n_dofs = build_quad_dofs(squads, len(used), p)
+        self.n_elems = len(bsel)
+
+        # surface dof -> volume dof
+        vol_face_dofs = vol.face_lattice_dofs(belem, bface)  # [nb, p1^2]
+        s2v = np.full(self.n_dofs, -1, dtype=np.int64)
+        s2v[self.elem_dofs.ravel()] = vol_face_dofs.ravel()
+        if np.any(s2v < 0):
+            raise AssertionError("surface dof without volume image")
+        # consistency: every surface element must agree on the map
+        if not np.all(s2v[self.elem_dofs] == vol_face_dofs):
+            raise AssertionError("inconsistent surface-to-volume dof map")
+        self.surf_to_vol = s2v
+        self.node_coords = vol.node_coords[s2v]
+
+    def project(self, fn) -> np.ndarray:
+        X = self.node_coords
+        return np.asarray(fn(X[:, 0], X[:, 1], X[:, 2]), dtype=np.float64)

@@ -1,0 +1,173 @@
+"""Free-surface machinery: trace transfer, kinematic/dynamic RHS, relaxation zones.
+
+TPU-native re-design of the ``rhs_linear : TimeDependentOperator`` class the
+reference clones into all nine solver programs (canonical copies:
+``Solvers/PF_linear_periodic.cpp:14-104`` for the bare operator,
+``Solvers/PF_linear_serial.cpp:57-262`` with embedded penalty forcing).
+
+Physics (the linearized free-surface conditions):
+    d eta / dt    = w_tilde = dphi/dz |_fs
+    d phi_fs / dt = -g eta
+with the volume potential phi solving Laplace's equation, Dirichlet
+phi = phi_fs on the free surface (attr 2), natural walls elsewhere, plus the
+optional relaxation-zone penalty forcing
+    dt g += alpha(t) * C(x)/tau * (g_e - g)
+(``Solvers/PF_linear_serial.cpp:186-257``).
+
+The whole RHS — transfer, preconditioned CG Laplace solve, z-derivative,
+surface ODEs, penalty forcing — is one pure jit-compatible function of
+``(t, state, phi_carry)``. The volume potential is threaded through as a
+carry purely as the CG warm start, exactly mirroring MFEM's persistent
+``GridFunction &phi`` across ``Mult`` calls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .analytic import AiryWave
+from .operators import LaplacePA, NodalZDerivative
+from .solvers import pcg
+from .space import SurfaceSpace
+
+__all__ = [
+    "cgen_weight", "cabs_weight", "RelaxationZones", "FreeSurfaceOperator",
+]
+
+
+def cgen_weight(x: np.ndarray, xg0: float, xg1: float) -> np.ndarray:
+    """Generation-zone forcing weight: 1 at the inlet (x<=xg0), cubic
+    smoothstep down to 0 at xg1 (``Solvers/PF_linear_serial.cpp:397-408``)."""
+    xi = np.clip((x - xg0) / (xg1 - xg0), 0.0, 1.0)
+    s = 1.0 - xi
+    return -2.0 * s ** 3 + 3.0 * s ** 2
+
+
+def cabs_weight(x: np.ndarray, x0: float, x1: float, p: float = 5.0) -> np.ndarray:
+    """Absorption-zone weight: 0 at x0 rising as xi^p to 1 at the outlet x1
+    (``Solvers/PF_linear_serial.cpp:417-430``)."""
+    xi = np.clip((x - x0) / (x1 - x0), 0.0, 1.0)
+    return xi ** p
+
+
+@dataclass
+class RelaxationZones:
+    """Precomputed penalty-forcing data on the surface nodes.
+
+    ``cgen``/``cabs`` are nodal weights (build with :func:`cgen_weight` /
+    :func:`cabs_weight`; sum lateral zones like the cylinder case's ``Cabsy``
+    (``Solvers/cylinder-diffraction.cpp:373-389``) into ``cabs``).
+    The target wave enters through its surface-node phase tables so the RHS
+    needs only scalar trig of ``omega * t`` at run time.
+    """
+    cgen: jax.Array          # [Ns]
+    cabs: jax.Array          # [Ns]
+    cos_kx: jax.Array        # [Ns] cos(k (kx x + ky y)) at surface nodes
+    sin_kx: jax.Array        # [Ns]
+    H: float
+    omega: float
+    phi_amp: float           # -H/2 c cosh(kh)/sinh(kh)
+    tau: float               # penalty timescale (= dt in the reference)
+    T: float                 # wave period, for the generation ramp
+    n_ramp: float = 3.0      # ramp periods (``Solvers/PF_linear_serial.cpp:237-241``)
+
+    @classmethod
+    def build(cls, surf: SurfaceSpace, wave: AiryWave, tau: float,
+              cgen: np.ndarray | None = None, cabs: np.ndarray | None = None,
+              n_ramp: float = 3.0, dtype=jnp.float64) -> "RelaxationZones":
+        X = surf.node_coords
+        ns = surf.n_dofs
+        karg = wave.k * (wave.kx * X[:, 0] + wave.ky * X[:, 1])
+        zero = np.zeros(ns)
+        return cls(
+            cgen=jnp.asarray(zero if cgen is None else cgen, dtype=dtype),
+            cabs=jnp.asarray(zero if cabs is None else cabs, dtype=dtype),
+            cos_kx=jnp.asarray(np.cos(karg), dtype=dtype),
+            sin_kx=jnp.asarray(np.sin(karg), dtype=dtype),
+            H=float(wave.H), omega=float(wave.omega),
+            phi_amp=float(-0.5 * wave.H * wave.c * np.cosh(wave.kh) / np.sinh(wave.kh)),
+            tau=float(tau), T=float(wave.T), n_ramp=float(n_ramp),
+        )
+
+    def targets(self, t):
+        """(eta_e, phi_fs_e) at stage time t: the Airy wave, via angle sums."""
+        c, s = jnp.cos(self.omega * t), jnp.sin(self.omega * t)
+        # cos(wt - kx) = cos wt cos kx + sin wt sin kx
+        eta_e = 0.5 * self.H * (c * self.cos_kx + s * self.sin_kx)
+        # sin(wt - kx) = sin wt cos kx - cos wt sin kx
+        phi_e = self.phi_amp * (s * self.cos_kx - c * self.sin_kx)
+        return eta_e, phi_e
+
+
+class FreeSurfaceOperator:
+    """The reference's ``rhs_linear::Mult`` as a pure function.
+
+    state y = concat([eta, phi_fs]) on the surface dofs; returns
+    (dy/dt, phi) where phi is the converged volume potential (carried forward
+    as the next stage's CG warm start).
+    """
+
+    def __init__(self, op: LaplacePA, surf: SurfaceSpace,
+                 g: float = 9.81,
+                 relax: RelaxationZones | None = None,
+                 cg_rtol_sq: float = 1e-24, cg_atol_sq: float = 0.0,
+                 cg_max_iter: int = 1000):
+        self.op = op
+        self.surf = surf
+        self.g = g
+        self.relax = relax
+        self.cg_rtol_sq = cg_rtol_sq
+        self.cg_atol_sq = cg_atol_sq
+        self.cg_max_iter = cg_max_iter
+        self.n_surf = surf.n_dofs
+
+        s2v = surf.surf_to_vol
+        if len(np.unique(s2v)) != len(s2v):
+            raise AssertionError("surface->volume dof map is not injective")
+        self.ess = jnp.asarray(s2v)
+        self.zderiv = NodalZDerivative(op)
+        # Jacobi preconditioner diagonal with identity on essential dofs
+        diag_c = op.diag.at[self.ess].set(1.0)
+        self._inv_diag = 1.0 / diag_c
+
+    # ------------------------------------------------------------- laplace
+    def solve_laplace(self, phi_fs: jax.Array, phi_warm: jax.Array):
+        """Dirichlet Laplace solve: phi = phi_fs on the free surface,
+        zero-Neumann elsewhere (``Solvers/PF_linear_periodic.cpp:71-92``)."""
+        op, ess = self.op, self.ess
+        b = jnp.zeros(op.n_dofs, dtype=phi_warm.dtype)
+        B, _ = op.constrained_rhs(b, ess, phi_fs)
+        x0 = phi_warm.at[ess].set(phi_fs)
+        res = pcg(lambda v: op.constrained_apply(v, ess), B, x0,
+                  precond_fn=lambda r: r * self._inv_diag,
+                  rtol_sq=self.cg_rtol_sq, atol_sq=self.cg_atol_sq,
+                  max_iter=self.cg_max_iter)
+        return res.x, res.iters
+
+    # ----------------------------------------------------------------- rhs
+    def __call__(self, t, y: jax.Array, phi: jax.Array):
+        ns = self.n_surf
+        eta, phi_fs = y[:ns], y[ns:]
+
+        phi, _ = self.solve_laplace(phi_fs, phi)
+
+        w = self.zderiv(phi)
+        w_tilde = w[self.ess]
+
+        deta = w_tilde
+        dphi_fs = -self.g * eta
+
+        if self.relax is not None:
+            rz = self.relax
+            eta_e, phi_e = rz.targets(t)
+            alpha_gen = jnp.clip(t / (rz.n_ramp * rz.T), 0.0, 1.0)
+            inv_tau = 1.0 / rz.tau
+            gen_w = alpha_gen * rz.cgen * inv_tau
+            deta = deta + gen_w * (eta_e - eta) - rz.cabs * inv_tau * eta
+            dphi_fs = dphi_fs + gen_w * (phi_e - phi_fs) - rz.cabs * inv_tau * phi_fs
+
+        return jnp.concatenate([deta, dphi_fs]), phi
