@@ -1,0 +1,94 @@
+"""Headline benchmark: the reference's strong-scaling protocol on one chip.
+
+Protocol (``Convergence_and_Scaling/ss.cpp:90-93,254-286`` + ``ss.sh``):
+10 RK4 steps = 40 Laplace solves on the periodic big wave tank, order 4,
+partial assembly + Jacobi-CG (rtol^2 1e-8, maxit 300), warm-up step excluded,
+wall time = max over ranks (here: one fused XLA program, `block_until_ready`).
+
+Metric: DOF x Laplace-solves per second. The reference publishes no numbers
+(BASELINE.md), so ``vs_baseline`` compares against the previous round's
+recorded value when available (``BENCH_r*.json``), else 1.0.
+
+Usage: python bench.py [--order 4] [--refs 1] [--steps 10] [--dtype float32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--refs", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--nx", type=int, default=32)
+    ap.add_argument("--ny", type=int, default=2)
+    ap.add_argument("--nz", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    from lpfem.configs import preset
+    from lpfem.problem import Problem
+
+    cfg = preset("scaling_base", order=args.order, ref_levels=args.refs,
+                 nx=args.nx, ny=args.ny, nz=args.nz,
+                 dtype=args.dtype, cg_rtol_sq=1e-8, cg_max_iter=300)
+    prob = Problem(cfg)
+    n_dofs = prob.space.n_dofs
+    y0, phi0 = prob.initial_state()
+
+    import jax.numpy as jnp
+    from lpfem.timestep import rk4_run
+
+    def run_n(n):
+        def go(y, phi):
+            return rk4_run(prob.fso, y, phi, 0.0, prob.dt, n)
+        return jax.jit(go, static_argnames=()).lower(y0, phi0).compile()
+
+    # warm-up (excluded, like ss.cpp:254)
+    warm = run_n(1)
+    (t, y, phi), _ = warm(y0, phi0)
+    jax.block_until_ready(y)
+
+    bench = run_n(args.steps)
+    t0 = time.perf_counter()
+    (t, y, phi), _ = bench(y0, phi0)
+    jax.block_until_ready(y)
+    dt_wall = time.perf_counter() - t0
+
+    n_solves = 4 * args.steps
+    value = n_dofs * n_solves / dt_wall
+
+    prev = None
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            rec = json.load(open(f))
+            if rec.get("metric") == "laplace_dof_throughput":
+                prev = rec.get("value")
+        except Exception:
+            pass
+    vs = (value / prev) if prev else 1.0
+
+    print(json.dumps({
+        "metric": "laplace_dof_throughput",
+        "value": round(value, 1),
+        "unit": "dof*solves/s",
+        "vs_baseline": round(vs, 4),
+        "detail": {
+            "n_dofs": int(n_dofs), "order": args.order, "refs": args.refs,
+            "steps": args.steps, "laplace_solves": n_solves,
+            "wall_s": round(dt_wall, 4), "dtype": args.dtype,
+            "backend": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

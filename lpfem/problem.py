@@ -1,0 +1,160 @@
+"""Problem assembly: Config -> mesh -> spaces -> operators -> time loop.
+
+This is the library layer the reference lacks — each of its 21 programs
+re-instantiates the same pipeline by hand (SURVEY.md 'What the reference is');
+here :class:`Problem` builds it once from a :class:`~lpfem.configs.Config`
+and exposes jitted step/run entry points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .analytic import AiryWave
+from .configs import Config
+from .mesh import Mesh, load_gmsh, load_mfem, make_wave_tank, make_wave_tank_finite
+from .operators import LaplacePA
+from .space import H1Space, SurfaceSpace
+from .surface import FreeSurfaceOperator, RelaxationZones, cabs_weight, cgen_weight
+from .timestep import rk4_run, rk4_step
+
+__all__ = ["Problem"]
+
+
+def build_mesh(cfg: Config) -> Mesh:
+    if cfg.mesh_kind == "periodic_tank":
+        m = make_wave_tank(cfg.nx, cfg.ny, cfg.nz, cfg.Lx, cfg.Ly, cfg.Lz)
+    elif cfg.mesh_kind == "finite_tank":
+        m = make_wave_tank_finite(cfg.nx, cfg.ny, cfg.nz, cfg.Lx, cfg.Ly, cfg.Lz)
+    elif cfg.mesh_kind == "mfem":
+        m = load_mfem(cfg.mesh_file)
+    elif cfg.mesh_kind == "gmsh":
+        m = load_gmsh(cfg.mesh_file)
+    else:
+        raise ValueError(f"unknown mesh_kind {cfg.mesh_kind!r}")
+    for _ in range(cfg.ref_levels):
+        m = m.uniform_refine()
+    return m
+
+
+def build_wave(cfg: Config, mesh: Mesh) -> AiryWave:
+    bbmin, bbmax = mesh.bounding_box()
+    h = float(bbmax[2] - bbmin[2])
+    z_top = float(bbmax[2])
+    if cfg.wave_by == "modes":
+        Lx = float(bbmax[0] - bbmin[0])
+        return AiryWave.from_modes(H=cfg.H, m=cfg.wave_m, Lx=Lx, h=h,
+                                   g=cfg.g, theta=cfg.theta, z_top=z_top)
+    if cfg.wave_by == "period":
+        return AiryWave.from_period(H=cfg.H, T=cfg.wave_T, h=h, g=cfg.g,
+                                    theta=cfg.theta, z_top=z_top)
+    if cfg.wave_by == "wavelength":
+        k = 2.0 * np.pi / cfg.wave_lambda
+        if cfg.kh_override is not None:
+            # flagship convention (``Solvers/PF_linear_par_partial.cpp:297-302``):
+            # k from lambda, kh pinned, c = sqrt(g/k tanh(kh)), T = lambda/c.
+            # Use an effective depth h_eff = kh/k in the Airy fields.
+            h_eff = cfg.kh_override / k
+            return AiryWave(H=cfg.H, k=k, h=h_eff, g=cfg.g, theta=cfg.theta,
+                            z_top=z_top)
+        return AiryWave(H=cfg.H, k=k, h=h, g=cfg.g, theta=cfg.theta, z_top=z_top)
+    raise ValueError(f"unknown wave_by {cfg.wave_by!r}")
+
+
+class Problem:
+    """A fully assembled LPF wave problem (single device)."""
+
+    def __init__(self, cfg: Config, mesh: Mesh | None = None):
+        self.cfg = cfg
+        self.dtype = jnp.dtype(cfg.dtype)
+        self.mesh = mesh if mesh is not None else build_mesh(cfg)
+        self.wave = build_wave(cfg, self.mesh)
+        self.space = H1Space(self.mesh, cfg.order)
+        self.op = LaplacePA(self.space, q=cfg.quad, dtype=self.dtype,
+                            mode=cfg.apply_mode)
+        self.surf = SurfaceSpace(self.space, attr=2)
+
+        self.dt = float(cfg.t_final_periods * self.wave.T / cfg.nsteps)
+        self.t_final = float(cfg.t_final_periods * self.wave.T)
+
+        relax = None
+        if cfg.relax:
+            bbmin, bbmax = self.mesh.bounding_box()
+            X = self.surf.node_coords[:, 0]
+            lam = self.wave.wavelength
+            cgen = cgen_weight(X, float(bbmin[0]), float(bbmin[0]) + cfg.Ng * lam)
+            cabs = cabs_weight(X, float(bbmax[0]) - cfg.Ns * lam, float(bbmax[0]),
+                               p=cfg.abs_power)
+            relax = RelaxationZones.build(self.surf, self.wave, tau=self.dt,
+                                          cgen=cgen, cabs=cabs,
+                                          n_ramp=cfg.n_ramp, dtype=self.dtype)
+        self.relax = relax
+
+        self.fso = FreeSurfaceOperator(
+            self.op, self.surf, g=cfg.g, relax=relax,
+            cg_rtol_sq=cfg.cg_rtol_sq, cg_max_iter=cfg.cg_max_iter)
+
+    # ----------------------------------------------------------- initial data
+    def initial_state(self, t: float = 0.0):
+        """(y0, phi0): surface state [eta; phi_fs] + volume potential carry,
+        projected from the Airy wave at time ``t`` (the reference's ICs,
+        ``Solvers/PF_linear_par_partial.cpp:365-414``)."""
+        w = self.wave
+        eta0 = self.surf.project(lambda x, y, z: w.eta(x, y, t))
+        pfs0 = self.surf.project(lambda x, y, z: w.phi_fs(x, y, t))
+        y0 = jnp.concatenate([jnp.asarray(eta0, dtype=self.dtype),
+                              jnp.asarray(pfs0, dtype=self.dtype)])
+        phi0 = jnp.zeros(self.space.n_dofs, dtype=self.dtype)
+        phi0 = phi0.at[self.fso.ess].set(jnp.asarray(pfs0, dtype=self.dtype))
+        return y0, phi0
+
+    def zero_state(self):
+        ns = self.surf.n_dofs
+        return (jnp.zeros(2 * ns, dtype=self.dtype),
+                jnp.zeros(self.space.n_dofs, dtype=self.dtype))
+
+    # ------------------------------------------------------------------- run
+    def step_fn(self):
+        """Jittable single RK4 step: (t, y, phi) -> (y, phi)."""
+        fso, dt = self.fso, self.dt
+
+        def step(t, y, phi):
+            return rk4_step(fso, t, dt, y, phi)
+
+        return step
+
+    def run(self, n_steps: int | None = None, t0: float = 0.0,
+            state=None, record=None, jit: bool = True):
+        """Run the RK4 loop (one fused lax.scan). Returns ((t, y, phi), recs)."""
+        if n_steps is None:
+            n_steps = self.cfg.nsteps
+        y0, phi0 = state if state is not None else self.initial_state(t0)
+
+        def go(y0, phi0):
+            return rk4_run(self.fso, y0, phi0, t0, self.dt, n_steps, record=record)
+
+        if jit:
+            go = jax.jit(go)
+        return go(y0, phi0)
+
+    # ----------------------------------------------------------------- errors
+    def eta_error_inf(self, y, t) -> float:
+        """max-norm error of eta vs the analytic wave at time t (MFEM
+        ``ComputeMaxError`` over nodes, the dynamic-accuracy metric of
+        ``Convergence_and_Scaling/convergence-parallel.cpp:249-281``)."""
+        ns = self.surf.n_dofs
+        eta = np.asarray(y[:ns])
+        w = self.wave
+        ex = self.surf.project(lambda x, yy, z: w.eta(x, yy, t))
+        return float(np.max(np.abs(eta - ex)))
+
+    def w_error_inf(self, phi, t) -> float:
+        from .operators import NodalZDerivative
+        w_num = np.asarray(NodalZDerivative(self.op)(phi))
+        wv = self.wave
+        ex = self.space.project(lambda x, y, z: wv.w_vel(x, y, z, t))
+        return float(np.max(np.abs(w_num - ex)))

@@ -1,0 +1,66 @@
+"""Sharded (multi-device) correctness: shard-count invariance.
+
+The reference validates parallel correctness by identical analytic errors
+under ``mpirun -np {1..8}`` (SURVEY.md §4); here the same property is
+asserted on a virtual 8-device CPU mesh: the sharded run must reproduce the
+single-device run to solver tolerance.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from lpfem.configs import preset
+from lpfem.problem import Problem
+from lpfem.shard import Partition, ShardedProblem, make_device_mesh
+from lpfem.space import H1Space
+
+
+def test_partition_tables():
+    cfg = preset("pf_linear_periodic", nx=8, nz=2, order=3)
+    prob = Problem(cfg)
+    pt = Partition(prob.space, 4)
+    assert pt.n_own.sum() == prob.space.n_dofs
+    # every element assigned exactly once
+    assert sum(len(e) for e in pt.elems_of) == prob.mesh.n_elems
+    # stack/unstack roundtrip
+    v = np.random.default_rng(0).standard_normal(prob.space.n_dofs)
+    assert np.allclose(pt.unstack_dof(pt.stack_dof(v)), v)
+    # interface dofs: on this periodic tank each slab boundary is a yz-plane
+    assert pt.NS > 0
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_sharded_matches_single_device(ndev):
+    assert len(jax.devices()) >= ndev, "conftest must force 8 CPU devices"
+    cfg = preset("pf_linear_periodic", nx=8, nz=2, order=3, nsteps=5,
+                 cg_max_iter=600)
+    prob = Problem(cfg)
+    (t1, y1, phi1), _ = prob.run(n_steps=5)
+
+    sprob = ShardedProblem(prob, mesh=make_device_mesh(ndev))
+    t2, y2, phi2 = sprob.run(n_steps=5)
+
+    assert np.isclose(float(t1), float(t2))
+    err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
+    scale = np.max(np.abs(np.asarray(y1)))
+    # identical math up to CG tolerance / reduction-order round-off
+    assert err < 1e-10 * max(scale, 1.0), (err, scale)
+    # volume potential agrees too
+    phi2g = sprob.phi_global(phi2)
+    assert np.max(np.abs(np.asarray(phi1) - phi2g)) < 1e-10
+
+
+def test_sharded_relaxation_tank():
+    """Finite tank with relaxation zones, sharded vs single device."""
+    # keep the flagship's dt = 5T/180 when shortening the run
+    cfg = preset("pf_linear_par_partial", nsteps=5, t_final_periods=5 * 5 / 180,
+                 order=2, cg_max_iter=600)
+    prob = Problem(cfg)
+    y0, phi0 = prob.zero_state()
+    (t1, y1, _), _ = prob.run(n_steps=5, state=(y0, phi0))
+    sprob = ShardedProblem(prob, mesh=make_device_mesh(4))
+    t2, y2, _ = sprob.run(n_steps=5, state=(y0, phi0))
+    err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
+    scale = max(float(np.max(np.abs(np.asarray(y1)))), 1e-30)
+    assert err < 1e-11 * scale, (err, scale)
