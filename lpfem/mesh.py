@@ -87,6 +87,9 @@ class Mesh:
     # Optional high-order geometry nodes, [ne, (pg+1)^3, 3] lex order; None -> trilinear
     geom_nodes: np.ndarray | None = None
     geom_order: int = 1
+    # Axes (0=x,1=y,2=z) identified by MakePeriodic — drives the structured
+    # fast path's wrap-around handling.
+    periodic_axes: tuple = ()
 
     @property
     def n_elems(self) -> int:
@@ -196,6 +199,7 @@ class Mesh:
             bdr_quads=new_bq,
             bdr_attrs=new_ba.astype(np.int64),
             periodic=self.periodic,
+            periodic_axes=self.periodic_axes,
         )
 
 
@@ -326,6 +330,8 @@ def make_periodic(mesh: Mesh, translations: list[np.ndarray], tol: float = 1e-8)
             keep.append(b)
     bq = remap[rep[mesh.bdr_quads[keep]]] if keep else np.zeros((0, 4), dtype=np.int64)
 
+    axes = tuple(sorted({int(np.argmax(np.abs(np.asarray(t, dtype=np.float64))))
+                         for t in translations}))
     return Mesh(
         verts=verts[used],
         elems=new_elems,
@@ -333,6 +339,7 @@ def make_periodic(mesh: Mesh, translations: list[np.ndarray], tol: float = 1e-8)
         bdr_quads=bq,
         bdr_attrs=mesh.bdr_attrs[keep],
         periodic=True,
+        periodic_axes=axes,
     )
 
 
@@ -365,7 +372,8 @@ def mark_boundary_tank(mesh: Mesh, finite: bool = False) -> Mesh:
         elif finite and abs(x[0] - bbmin[0]) < tol:
             attrs[b] = 6
     return Mesh(mesh.verts, mesh.elems, mesh.corner_coords, mesh.bdr_quads,
-                attrs, mesh.periodic, mesh.geom_nodes, mesh.geom_order)
+                attrs, mesh.periodic, mesh.geom_nodes, mesh.geom_order,
+                periodic_axes=mesh.periodic_axes)
 
 
 def make_wave_tank(nx: int = 128, ny: int = 2, nz: int = 16,
@@ -456,7 +464,16 @@ def _parse_mfem(tok) -> Mesh:
         flat_xyz = corner_coords.reshape(-1, 3)
         # reversed so earliest occurrence wins
         verts[flat_ids[::-1]] = flat_xyz[::-1]
-        return Mesh(verts, elems, corner_coords, bq, ba, periodic=True)
+        # infer periodic axes: an axis is periodic iff some identified vertex
+        # appears at two different coordinates along it
+        vmax = np.full((nv, 3), -np.inf)
+        vmin = np.full((nv, 3), np.inf)
+        np.maximum.at(vmax, flat_ids, flat_xyz)
+        np.minimum.at(vmin, flat_ids, flat_xyz)
+        span = vmax - vmin
+        axes = tuple(int(a) for a in range(3) if np.nanmax(span[:, a]) > 1e-10)
+        return Mesh(verts, elems, corner_coords, bq, ba, periodic=True,
+                    periodic_axes=axes)
     else:
         vdim = int(rest[0])
         vals = np.array([float(x) for x in rest[1:1 + nv * vdim]])

@@ -80,8 +80,14 @@ def geometric_factors(space: H1Space, q: int | None = None, dtype=jnp.float64):
     Jinv = np.linalg.inv(J)                     # [ne,Q,3,3]  (Jinv[i,j] = dxi_i/dx_j)
     w3 = np.einsum("c,b,a->cba", qw, qw, qw).reshape(-1)
     wdetJ = detJ * w3[None, :]
-    # G = w |J| Jinv Jinv^T  (contract over physical coordinate index)
-    G = np.einsum("eqik,eqjk,eq->eqij", Jinv, Jinv, wdetJ, optimize=True)
+    # G = w |J| Jinv Jinv^T  (contract over physical coordinate index).
+    # Stored as the 6 unique symmetric components [ne, Q, 6] in order
+    # (xx, xy, xz, yy, yz, zz): the device apply uses VPU elementwise
+    # multiply-adds instead of batched 3x3 matvecs (which pad 3 -> 128 on
+    # the MXU and dominate the runtime).
+    Gfull = np.einsum("eqik,eqjk,eq->eqij", Jinv, Jinv, wdetJ, optimize=True)
+    G = np.stack([Gfull[..., 0, 0], Gfull[..., 0, 1], Gfull[..., 0, 2],
+                  Gfull[..., 1, 1], Gfull[..., 1, 2], Gfull[..., 2, 2]], axis=-1)
 
     # physical quad-point coords (for analytic errors)
     B3 = np.einsum("cz,by,ax->cbazyx", B1, B1, B1).reshape(q ** 3, 8)
@@ -101,6 +107,86 @@ def _grad_interp_matrix(p: int, q: int) -> np.ndarray:
     L = (p + 1) ** 3
     Q = q ** 3
     return np.stack([g.reshape(Q, L) for g in (g_x, g_y, g_z)], axis=0)
+
+
+def _unfold_last(x: jax.Array, n_e: int, p: int, periodic: bool) -> jax.Array:
+    """[..., D] -> [..., n_e, p+1]: overlapping (p+1)-windows at stride p,
+    built from one reshape + one strided slice (no gathers)."""
+    if periodic:                       # D = n_e * p
+        core = x.reshape(*x.shape[:-1], n_e, p)
+        nxt = jnp.concatenate([x[..., p::p], x[..., :1]], axis=-1)
+    else:                              # D = n_e * p + 1
+        core = x[..., :-1].reshape(*x.shape[:-1], n_e, p)
+        nxt = x[..., p::p]
+    return jnp.concatenate([core, nxt[..., None]], axis=-1)
+
+
+def _fold_last(u: jax.Array, p: int, periodic: bool) -> jax.Array:
+    """Transpose of :func:`_unfold_last`: [..., n_e, p+1] -> [..., D] with
+    overlap accumulation via strided adds."""
+    n_e = u.shape[-2]
+    core = u[..., :p].reshape(*u.shape[:-2], n_e * p)
+    nxt = u[..., p]
+    if periodic:
+        y = core.at[..., p::p].add(nxt[..., :-1])
+        return y.at[..., 0].add(nxt[..., -1])
+    y = jnp.concatenate([core, jnp.zeros((*core.shape[:-1], 1), core.dtype)],
+                        axis=-1)
+    return y.at[..., p::p].add(nxt)
+
+
+class StructuredLattice:
+    """Gather-free E-vector transfer on tensor-product (Cartesian) spaces.
+
+    TPU-first replacement for the irregular E-vector gather/scatter: on the
+    lattice numbering (see ``H1Space._try_structured_renumber``), extraction
+    of every element's (p+1)^3 dof block is a cascade of per-axis
+    'unfold' ops (reshape + strided slice), and assembly is the transposed
+    'fold' (reshape + strided add). XLA compiles these to dense copies —
+    orders of magnitude faster than 512k-index gathers on TPU.
+    """
+
+    def __init__(self, struct, p: int):
+        self.Dx, self.Dy, self.Dz = struct.dof_dims
+        self.nex, self.ney, self.nez = struct.elem_dims
+        self.px, self.py, self.pz = struct.periodic
+        self.p = p
+        self.L = (p + 1) ** 3
+        self.ne = self.nex * self.ney * self.nez
+
+    def gather(self, x: jax.Array) -> jax.Array:
+        """[n_dofs] -> [ne, (p+1)^3] in mesh element order (lattice-major)."""
+        p = self.p
+        u = x.reshape(self.Dz, self.Dy, self.Dx)
+        u = _unfold_last(u, self.nex, p, self.px)      # [Dz, Dy, nex, p1x]
+        u = jnp.moveaxis(u, 1, -1)                      # [Dz, nex, p1x, Dy]
+        u = _unfold_last(u, self.ney, p, self.py)      # [Dz, nex, p1x, ney, p1y]
+        u = jnp.moveaxis(u, 0, -1)                      # [nex, p1x, ney, p1y, Dz]
+        u = _unfold_last(u, self.nez, p, self.pz)      # [nex,p1x,ney,p1y,nez,p1z]
+        u = u.transpose(4, 2, 0, 5, 3, 1)               # [nez,ney,nex,p1z,p1y,p1x]
+        return u.reshape(self.ne, self.L)
+
+    def scatter(self, ye: jax.Array) -> jax.Array:
+        """[ne, (p+1)^3] -> assembled [n_dofs] (transpose of ``gather``)."""
+        p1 = self.p + 1
+        u = ye.reshape(self.nez, self.ney, self.nex, p1, p1, p1)
+        u = u.transpose(2, 5, 1, 4, 0, 3)               # [nex,p1x,ney,p1y,nez,p1z]
+        u = _fold_last(u, self.p, self.pz)              # [nex,p1x,ney,p1y,Dz]
+        u = jnp.moveaxis(u, -1, 0)                      # [Dz,nex,p1x,ney,p1y]
+        u = _fold_last(u, self.p, self.py)              # [Dz,nex,p1x,Dy]
+        u = jnp.moveaxis(u, -1, 1)                      # [Dz,Dy,nex,p1x]
+        u = _fold_last(u, self.p, self.px)              # [Dz,Dy,Dx]
+        return u.reshape(-1)
+
+
+def _apply_G6(G6: jax.Array, gx: jax.Array, gy: jax.Array, gz: jax.Array) -> jax.Array:
+    """h_i = G_ij g_j with symmetric G stored as [..., Q, 6] = (xx,xy,xz,yy,yz,zz).
+
+    Pure VPU elementwise multiply-adds; returns stacked [..., 3, Q]."""
+    hx = G6[..., 0] * gx + G6[..., 1] * gy + G6[..., 2] * gz
+    hy = G6[..., 1] * gx + G6[..., 3] * gy + G6[..., 4] * gz
+    hz = G6[..., 2] * gx + G6[..., 4] * gy + G6[..., 5] * gz
+    return jnp.stack([hx, hy, hz], axis=-2)
 
 
 class LaplacePA:
@@ -125,16 +211,29 @@ class LaplacePA:
         self.B = jnp.asarray(b.B, dtype=dtype)
         self.D = jnp.asarray(b.D, dtype=dtype)
         self.Jr = jnp.asarray(_grad_interp_matrix(p, q), dtype=dtype)  # [3,Q,L]
+        self.lattice = (StructuredLattice(space.struct, p)
+                        if space.struct is not None else None)
 
     # ------------------------------------------------------------------ apply
+    def gather_E(self, x: jax.Array) -> jax.Array:
+        """E-vector gather [n_dofs] -> [ne, L] (structured fast path when
+        available)."""
+        if self.lattice is not None:
+            return self.lattice.gather(x)
+        return x[self.elem_dofs]
+
     def apply_local(self, x: jax.Array) -> jax.Array:
         """Element-local apply: gather -> grad -> G -> grad^T. Returns
         per-element contributions [ne, L] (the E-vector form, pre-scatter)."""
-        u = x[self.elem_dofs]                                # [ne, L]
+        u = self.gather_E(x)                                 # [ne, L]
         if self.mode == "fused":
-            g = jnp.einsum("iql,el->eqi", self.Jr, u)         # [ne,Q,3]
-            Gg = jnp.einsum("eqij,eqj->eqi", self.G, g)
-            return jnp.einsum("iql,eqi->el", self.Jr, Gg)
+            # one [E, L] @ [L, 3Q] matmul (MXU), VPU elementwise G, transpose
+            Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)        # [3Q, L]
+            g = jnp.einsum("gl,el->eg", Jr2, u)               # [ne, 3Q]
+            ne = g.shape[0]
+            g = g.reshape(ne, 3, self.q ** 3)
+            h = _apply_G6(self.G, g[:, 0], g[:, 1], g[:, 2])  # [ne,3,Q]
+            return jnp.einsum("gl,eg->el", Jr2, h.reshape(ne, -1))
         # sum-factorized path
         p1, q = self.p + 1, self.q
         ne = u.shape[0]
@@ -144,31 +243,43 @@ class LaplacePA:
         def t3(v, Az, Ay, Ax):
             return jnp.einsum("cz,by,ax,ezyx->ecba", Az, Ay, Ax, v)
 
-        gx = t3(uz, B, B, D)
-        gy = t3(uz, B, D, B)
-        gz = t3(uz, D, B, B)
-        g = jnp.stack([gx, gy, gz], axis=-1).reshape(ne, q ** 3, 3)
-        Gg = jnp.einsum("eqij,eqj->eqi", self.G, g).reshape(ne, q, q, q, 3)
+        gx = t3(uz, B, B, D).reshape(ne, q ** 3)
+        gy = t3(uz, B, D, B).reshape(ne, q ** 3)
+        gz = t3(uz, D, B, B).reshape(ne, q ** 3)
+        h = _apply_G6(self.G, gx, gy, gz).reshape(ne, 3, q, q, q)
 
         def t3t(v, Az, Ay, Ax):
             return jnp.einsum("cz,by,ax,ecba->ezyx", Az, Ay, Ax, v)
 
-        y = (t3t(Gg[..., 0], B, B, D) + t3t(Gg[..., 1], B, D, B)
-             + t3t(Gg[..., 2], D, B, B))
+        y = (t3t(h[:, 0], B, B, D) + t3t(h[:, 1], B, D, B)
+             + t3t(h[:, 2], D, B, B))
         return y.reshape(ne, p1 ** 3)
 
     def apply(self, x: jax.Array) -> jax.Array:
-        """y = A x on global dofs (scatter-add of the local apply)."""
-        ye = self.apply_local(x)
-        return jnp.zeros(self.n_dofs, dtype=x.dtype).at[self.elem_dofs].add(ye)
+        """y = A x on global dofs."""
+        return self.assemble(self.apply_local(x))
+
+    def assemble(self, ye: jax.Array) -> jax.Array:
+        """E-vector assembly (structured fold when available, else
+        scatter-add)."""
+        if self.lattice is not None:
+            return self.lattice.scatter(ye)
+        return jnp.zeros(self.n_dofs, dtype=ye.dtype).at[self.elem_dofs].add(ye)
 
     # --------------------------------------------------------------- diagonal
     @cached_property
     def diag(self) -> jax.Array:
         """Assembled diagonal (MFEM ``OperatorJacobiSmoother`` source,
         ``Solvers/PF_linear_par_partial.cpp:124``)."""
-        d_e = jnp.einsum("iql,eqij,jql->el", self.Jr, self.G, self.Jr)
-        return jnp.zeros(self.n_dofs, dtype=self.dtype).at[self.elem_dofs].add(d_e)
+        Jx, Jy, Jz = self.Jr[0], self.Jr[1], self.Jr[2]       # [Q, L]
+        G = self.G
+        d_e = (jnp.einsum("eq,ql->el", G[..., 0], Jx * Jx)
+               + 2 * jnp.einsum("eq,ql->el", G[..., 1], Jx * Jy)
+               + 2 * jnp.einsum("eq,ql->el", G[..., 2], Jx * Jz)
+               + jnp.einsum("eq,ql->el", G[..., 3], Jy * Jy)
+               + 2 * jnp.einsum("eq,ql->el", G[..., 4], Jy * Jz)
+               + jnp.einsum("eq,ql->el", G[..., 5], Jz * Jz))
+        return self.assemble(d_e)
 
     # ---------------------------------------------------- essential-dof forms
     def constrained_apply(self, x: jax.Array, ess: jax.Array) -> jax.Array:
@@ -191,7 +302,7 @@ class LaplacePA:
     def interp_quad(self, x: jax.Array) -> jax.Array:
         """Field values at quadrature points, [ne, Q]."""
         p1, q = self.p + 1, self.q
-        u = x[self.elem_dofs].reshape(-1, p1, p1, p1)
+        u = self.gather_E(x).reshape(-1, p1, p1, p1)
         v = jnp.einsum("cz,by,ax,ezyx->ecba", self.B, self.B, self.B, u)
         return v.reshape(u.shape[0], q ** 3)
 
@@ -212,7 +323,12 @@ class LaplacePA:
         """Dense element stiffness matrices [ne, L, L] (full-assembly path,
         MFEM ``BilinearForm::Assemble`` default,
         ``Solvers/PF_linear_par.cpp:117-119``)."""
-        return jnp.einsum("iqk,eqij,jql->ekl", self.Jr, self.G, self.Jr)
+        G6 = self.G
+        idx = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+        Gfull = jnp.stack(
+            [jnp.stack([G6[..., idx[i][j]] for j in range(3)], axis=-1)
+             for i in range(3)], axis=-2)
+        return jnp.einsum("iqk,eqij,jql->ekl", self.Jr, Gfull, self.Jr)
 
     def assemble_scipy(self):
         """Assembled sparse matrix (host, SciPy CSR) for validation."""
@@ -265,7 +381,7 @@ class NodalZDerivative:
     def __call__(self, x: jax.Array) -> jax.Array:
         op = self.op
         p1 = self.p1
-        u = x[op.elem_dofs].reshape(-1, p1, p1, p1)
+        u = op.gather_E(x).reshape(-1, p1, p1, p1)
         ne = u.shape[0]
         Bn, Dn = self.Bn, self.Dn
 
@@ -278,8 +394,7 @@ class NodalZDerivative:
         ghat = jnp.stack([gx, gy, gz], axis=-1)                   # [ne, L, 3]
         w_e = jnp.einsum("eli,eli->el", self.Jinv_z, ghat)
 
-        acc = jnp.zeros(op.n_dofs, dtype=x.dtype).at[op.elem_dofs].add(w_e)
-        return acc * self.inv_mult
+        return op.assemble(w_e) * self.inv_mult
 
 
 def nodal_z_derivative(op: LaplacePA, x: jax.Array) -> jax.Array:

@@ -292,12 +292,15 @@ class ShardedProblem:
 
     def _apply_own(self, x_own, tables):
         """Sharded PA apply on owned lanes: A x (no BC)."""
+        from .operators import _apply_G6
         led, G, oip, oil, hp = tables
         x_loc = self._gather_loc(x_own, tables)
         u = x_loc[led]                                    # [E_max, L]
-        g = jnp.einsum("iql,el->eqi", self.Jr, u)
-        Gg = jnp.einsum("eqij,eqj->eqi", G, g)
-        ye = jnp.einsum("iql,eqi->el", self.Jr, Gg)
+        Q = self.Jr.shape[1]
+        Jr2 = self.Jr.reshape(3 * Q, -1)
+        g = jnp.einsum("gl,el->eg", Jr2, u).reshape(-1, 3, Q)
+        h = _apply_G6(G, g[:, 0], g[:, 1], g[:, 2])
+        ye = jnp.einsum("gl,eg->el", Jr2, h.reshape(h.shape[0], -1))
         y_loc = jnp.zeros(self.N_max + 1 + self.H_max + 1, dtype=x_own.dtype
                           ).at[led].add(ye)
         return self._assemble_own(y_loc, tables)

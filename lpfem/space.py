@@ -187,14 +187,64 @@ def _geom_weights(p: int) -> np.ndarray:
     return W
 
 
-class H1Space:
-    """H1 Lagrange space of order ``p`` on a hex :class:`Mesh`."""
+@dataclass(frozen=True)
+class StructuredInfo:
+    """Tensor-product lattice structure of a Cartesian mesh/space.
 
-    def __init__(self, mesh: Mesh, p: int):
+    When present, dofs are numbered ``ix + Dx*(iy + Dy*iz)`` on the global
+    GLL lattice and elements are ordered ``ex + nex*(ey + ney*ez)``. The
+    matrix-free apply then performs E-vector gather/scatter as pure
+    reshape/strided-slice 'unfold/fold' ops — no irregular gathers, the
+    dominant cost on TPU (SURVEY.md §7 'hard parts': unstructured
+    gather/scatter)."""
+    dof_dims: tuple      # (Dx, Dy, Dz)
+    elem_dims: tuple     # (nex, ney, nez)
+    periodic: tuple      # (px, py, pz) bools
+
+
+def _detect_structured_mesh(mesh: Mesh):
+    """(elem_dims, elem_perm) if the mesh is a Cartesian tensor product."""
+    cen = mesh.corner_coords.mean(axis=1)
+    dims, idx = [], []
+    for a in range(3):
+        r = np.round(cen[:, a], 9)
+        u = np.unique(r)
+        dims.append(len(u))
+        idx.append(np.searchsorted(u, r))
+    if dims[0] * dims[1] * dims[2] != mesh.n_elems:
+        return None
+    lin = idx[0] + dims[0] * (idx[1] + dims[1] * idx[2])
+    if len(np.unique(lin)) != mesh.n_elems:
+        return None
+    return tuple(dims), np.argsort(lin, kind="stable")
+
+
+class H1Space:
+    """H1 Lagrange space of order ``p`` on a hex :class:`Mesh`.
+
+    On Cartesian (tensor-product) meshes the elements are reordered
+    lattice-major and the dofs renumbered onto the global GLL lattice
+    (``self.struct`` is then a :class:`StructuredInfo`); this enables the
+    gather-free structured apply in :mod:`lpfem.operators`. Unstructured
+    (e.g. Gmsh) meshes keep the generic topological numbering.
+    """
+
+    def __init__(self, mesh: Mesh, p: int, structured: bool = True):
+        self.struct = None
+        det = _detect_structured_mesh(mesh) if structured else None
+        if det is not None:
+            elem_dims, eperm = det
+            mesh = Mesh(mesh.verts, mesh.elems[eperm],
+                        mesh.corner_coords[eperm], mesh.bdr_quads,
+                        mesh.bdr_attrs, mesh.periodic,
+                        None if mesh.geom_nodes is None else mesh.geom_nodes[eperm],
+                        mesh.geom_order, periodic_axes=mesh.periodic_axes)
         self.mesh = mesh
         self.p = p
         self.elem_dofs, self.n_dofs, (self._uniq_faces, self._face_id) = \
             build_hex_dofs(mesh.elems, mesh.n_verts, p)
+        if det is not None:
+            self._try_structured_renumber(elem_dims)
 
         # boundary face -> (element, local face) lookup
         if len(mesh.bdr_quads):
@@ -219,6 +269,51 @@ class H1Space:
         else:
             self.bdr_elem = np.zeros(0, dtype=np.int64)
             self.bdr_face = np.zeros(0, dtype=np.int64)
+
+    # -------------------------------------------------- structured renumber
+    def _try_structured_renumber(self, elem_dims) -> None:
+        """Renumber dofs onto the global GLL lattice if the node coordinates
+        form a tensor product; sets ``self.struct`` on success."""
+        mesh = self.mesh
+        X = np.zeros((self.n_dofs, 3))
+        flat = self.elem_dofs.ravel()[::-1]
+        X[flat] = self.elem_node_coords.reshape(-1, 3)[::-1]
+        bbmin, bbmax = mesh.bounding_box()
+        per = tuple(a in mesh.periodic_axes for a in range(3))
+        dims, idx = [], []
+        for a in range(3):
+            r = np.round(X[:, a], 9)
+            if per[a]:
+                hi = np.round(bbmax[a], 9)
+                r = np.where(r == hi, np.round(bbmin[a], 9), r)
+            u = np.unique(r)
+            pos = np.searchsorted(u, r)
+            if not np.all(u[pos] == r):
+                return
+            dims.append(len(u))
+            idx.append(pos)
+        Dx, Dy, Dz = dims
+        if Dx * Dy * Dz != self.n_dofs:
+            return
+        new = idx[0] + Dx * (idx[1] + Dy * idx[2])
+        if len(np.unique(new)) != self.n_dofs:
+            return
+        self.elem_dofs = new[self.elem_dofs]
+        # sanity: element 0 sits at the lattice origin with unit strides
+        p1 = self.p + 1
+        e0 = self.elem_dofs[0].reshape(p1, p1, p1)
+        ix = np.arange(p1)
+        expect = (ix[None, None, :] % Dx + Dx * (ix[None, :, None] % Dy)
+                  + Dx * Dy * (ix[:, None, None] % Dz))
+        if not np.array_equal(e0, expect):
+            raise AssertionError("structured renumbering produced unexpected "
+                                 "element-0 lattice (orientation mismatch)")
+        self.struct = StructuredInfo(dof_dims=(Dx, Dy, Dz),
+                                     elem_dims=tuple(elem_dims),
+                                     periodic=per)
+        # invalidate caches that depend on dof numbering
+        self.__dict__.pop("node_coords", None)
+        self.__dict__.pop("node_mult", None)
 
     # ------------------------------------------------------------- geometry
     @cached_property
