@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--nx", type=int, default=32)
     ap.add_argument("--ny", type=int, default=2)
     ap.add_argument("--nz", type=int, default=8)
+    ap.add_argument("--precond", default="pmg", choices=["jacobi", "chebyshev", "pmg"])
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timing repeats; median reported (tunnel variance)")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +41,7 @@ def main() -> None:
     from lpfem.problem import Problem
 
     cfg = preset("scaling_base", order=args.order, ref_levels=args.refs,
-                 nx=args.nx, ny=args.ny, nz=args.nz,
+                 nx=args.nx, ny=args.ny, nz=args.nz, precond=args.precond,
                  dtype=args.dtype, cg_rtol_sq=1e-8, cg_max_iter=300)
     prob = Problem(cfg)
     n_dofs = prob.space.n_dofs
@@ -58,10 +61,14 @@ def main() -> None:
     jax.block_until_ready(y)
 
     bench = run_n(args.steps)
-    t0 = time.perf_counter()
-    (t, y, phi), _ = bench(y0, phi0)
-    jax.block_until_ready(y)
-    dt_wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        (t, y, phi), _ = bench(y0, phi0)
+        jax.block_until_ready(y)
+        walls.append(time.perf_counter() - t0)
+    import statistics
+    dt_wall = statistics.median(walls)
 
     n_solves = 4 * args.steps
     value = n_dofs * n_solves / dt_wall
@@ -85,6 +92,8 @@ def main() -> None:
             "n_dofs": int(n_dofs), "order": args.order, "refs": args.refs,
             "steps": args.steps, "laplace_solves": n_solves,
             "wall_s": round(dt_wall, 4), "dtype": args.dtype,
+            "precond": args.precond,
+            "walls": [round(w, 4) for w in walls],
             "backend": jax.devices()[0].platform,
         },
     }))

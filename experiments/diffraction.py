@@ -1,0 +1,149 @@
+"""Wave-cylinder diffraction study + McCamy-Fuchs validation.
+
+Reproduces ``Solvers/cylinder-diffraction.cpp``:
+- half-domain tank with bottom-mounted cylinder (here: the self-contained
+  polar mesh from :mod:`lpfem.cylmesh`; ``--gmsh`` loads an external v2.2
+  mesh like the committed ``mesh_cylinder_half.msh``)
+- order 4, lambda=1, kh=1, H=0.01 (``:227-253``), RK4 350 steps over 10T
+- three relaxation zones: generation Ng=2.5, x-absorption Ns=4,
+  lateral y-absorption Ns_y=3, ramp 3T (``:339-389``, ``:193-209``)
+- eta envelope = nodal max over the last period, normalized by 2/H
+  (``:415-444``)
+- rim extraction: nodes with |r-a| <= 5e-3, theta >= 0, sorted + dedup ->
+  ``data/cylinder-diffraction.txt`` (``:479-593``)
+
+and ``Solvers/cylinder-exact.cpp``: the analytic McCamy-Fuchs envelope ->
+``data/cylinder_boundary.txt``.
+
+Usage:
+  python -m experiments.diffraction --order 4 --nsteps 350
+  python -m experiments.diffraction --quick          # small smoke setup
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--nsteps", type=int, default=350)
+    ap.add_argument("--periods", type=float, default=10.0)
+    ap.add_argument("--n-theta", type=int, default=32)
+    ap.add_argument("--n-r", type=int, default=16)
+    ap.add_argument("--nz", type=int, default=2)
+    ap.add_argument("--gmsh", default=None, help="load a Gmsh v2.2 mesh instead")
+    ap.add_argument("--cx", type=float, default=4.0)
+    ap.add_argument("--cy", type=float, default=0.0,
+                    help="cylinder center y (4.0 for the committed half mesh)")
+    ap.add_argument("--radius", type=float, default=0.5)
+    ap.add_argument("--H", type=float, default=0.01)
+    ap.add_argument("--precond", default="jacobi")
+    ap.add_argument("--cheb-degree", type=int, default=3)
+    ap.add_argument("--rim-tol", type=float, default=5e-3)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--out", default="data/cylinder-diffraction.txt")
+    ap.add_argument("--out-exact", default="data/cylinder_boundary.txt")
+    args = ap.parse_args()
+    if args.quick:
+        args.order, args.nsteps, args.periods = 2, 60, 3.0
+        args.n_theta, args.n_r = 12, 6
+
+    import jax
+    import jax.numpy as jnp
+    from lpfem.analytic import AiryWave, mccamy_fuchs_envelope
+    from lpfem.cylmesh import make_half_cylinder_tank
+    from lpfem.mesh import load_gmsh
+    from lpfem.configs import Config
+    from lpfem.problem import Problem
+    from lpfem.surface import RelaxationZones, cabs_weight, cgen_weight
+    from lpfem.timestep import rk4_run
+    from lpfem.io import DataFile
+
+    h = 1.0 / (2.0 * np.pi)
+    if args.gmsh:
+        mesh = load_gmsh(args.gmsh)
+    else:
+        mesh = make_half_cylinder_tank(Lx=12.0, Ly=6.0, h=h, cx=args.cx,
+                                       a=args.radius, n_theta=args.n_theta,
+                                       n_r=args.n_r, nz=args.nz)
+
+    cfg = Config(name="cylinder_diffraction", order=args.order, H=args.H,
+                 wave_by="wavelength", wave_lambda=1.0, kh_override=1.0,
+                 nsteps=args.nsteps, t_final_periods=args.periods,
+                 cg_rtol_sq=1e-24, cg_max_iter=2000, dtype=args.dtype,
+                 precond=args.precond, cheb_degree=args.cheb_degree)
+    prob = Problem(cfg, mesh=mesh)
+    wave = prob.wave
+    lam = wave.wavelength
+
+    # three relaxation zones (cylinder-diffraction.cpp:339-389)
+    bbmin, bbmax = mesh.bounding_box()
+    X = prob.surf.node_coords
+    cgen = cgen_weight(X[:, 0], float(bbmin[0]), float(bbmin[0]) + 2.5 * lam)
+    cabs = cabs_weight(X[:, 0], float(bbmax[0]) - 4.0 * lam, float(bbmax[0]))
+    cabsy = cabs_weight(X[:, 1], float(bbmax[1]) - 3.0 * lam, float(bbmax[1]))
+    prob.relax = RelaxationZones.build(prob.surf, wave, tau=prob.dt,
+                                       cgen=cgen, cabs=cabs + cabsy,
+                                       n_ramp=3.0, dtype=prob.dtype)
+    prob.fso.relax = prob.relax
+
+    print(f"mesh: {mesh.n_elems} hexes; dofs vol={prob.space.n_dofs} "
+          f"surf={prob.surf.n_dofs}; T={wave.T:.4f} dt={prob.dt:.4f}")
+
+    y0, phi0 = prob.initial_state()
+    ns = prob.surf.n_dofs
+    record = lambda t, y, aux: (t, y[:ns])
+
+    t0 = time.perf_counter()
+    (t, y, phi), (ts, etas) = prob.run(record=record)
+    jax.block_until_ready(etas)
+    print(f"run: {time.perf_counter() - t0:.1f}s  t_final={float(t):.3f}")
+
+    # envelope: nodal max over the last period (cylinder-diffraction.cpp:415-429)
+    ts = np.asarray(ts)
+    etas = np.asarray(etas)
+    t_last_start = float(t) - wave.T
+    sel = ts >= t_last_start - 1e-12
+    env = np.max(etas[sel], axis=0) * (2.0 / args.H)
+
+    # rim extraction (":479-498")
+    r = np.hypot(X[:, 0] - args.cx, X[:, 1] - args.cy)
+    theta = np.arctan2(X[:, 1] - args.cy, X[:, 0] - args.cx)
+    keep = (np.abs(r - args.radius) <= args.rim_tol) & (theta >= 0)
+    th, vals = theta[keep], env[keep]
+    order_i = np.argsort(th)
+    th, vals = th[order_i], vals[order_i]
+    # dedup (":585-591")
+    uniq = np.concatenate([[True], np.diff(th) > 1e-10])
+    th, vals = th[uniq], vals[uniq]
+
+    df = DataFile(args.out, "theta(rad) eta")
+    open(args.out, "w").write("# theta(rad)  eta\n")
+    for a_, v_ in zip(th, vals):
+        open(args.out, "a").write(f"{a_} {v_}\n")
+    print(f"extracted {len(th)} rim points -> {args.out}")
+
+    # analytic companion (cylinder-exact.cpp)
+    ka = wave.k * args.radius
+    th_e = np.linspace(0, np.pi, 181)
+    env_e = mccamy_fuchs_envelope(th_e, ka)
+    with open(args.out_exact, "w") as f:
+        f.write("# theta(rad)  eta\n")
+        for a_, v_ in zip(th_e, env_e):
+            f.write(f"{a_} {v_}\n")
+
+    # quantitative comparison
+    ref = np.interp(th, th_e, env_e)
+    rel = np.abs(vals - ref) / np.max(np.abs(ref))
+    print(f"rim envelope vs McCamy-Fuchs: max rel dev {np.max(rel):.3f}, "
+          f"mean {np.mean(rel):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Dynamic (time-dependent) potential-flow convergence studies.
+
+Reproduces:
+- p-convergence of the full RK4 solver over one period:
+  ``||eta - eta_ex||_inf`` at t = T, p = 1..8, 150 steps
+  (``Convergence_and_Scaling/convergence-parallel-partial.cpp:150-305``)
+- h-convergence at fixed order measuring ``||w - w_ex||_inf``
+  (``convergence-parallel-partial-hconv.cpp:142-351``)
+
+Usage:
+  python -m experiments.pf_conv --mode p --max-order 8
+  python -m experiments.pf_conv --mode h --order 4 --refs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["h", "p"], default="p")
+    ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--refs", type=int, default=2)
+    ap.add_argument("--max-order", type=int, default=8)
+    ap.add_argument("--nx", type=int, default=8)
+    ap.add_argument("--nz", type=int, default=2)
+    ap.add_argument("--nsteps", type=int, default=150)
+    ap.add_argument("--precond", default="pmg")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from lpfem.configs import preset
+    from lpfem.problem import Problem
+    from lpfem.io import DataFile
+    from lpfem.operators import NodalZDerivative
+
+    def run(order, mesh=None, nx=None, nz=None):
+        cfg = preset("pf_linear_periodic", nx=nx or args.nx, nz=nz or args.nz,
+                     order=order, nsteps=args.nsteps, cg_max_iter=2000,
+                     precond=args.precond if order > 1 else "jacobi")
+        prob = Problem(cfg, mesh=mesh)
+        t0 = time.perf_counter()
+        (t, y, phi), _ = prob.run()
+        wall = time.perf_counter() - t0
+        eta_err = prob.eta_error_inf(y, float(t))
+        # w error at final time (the hconv driver's metric)
+        w = np.asarray(NodalZDerivative(prob.op)(phi))
+        w_ex = prob.space.project(
+            lambda x, yy, z: prob.wave.w_vel(x, yy, z, float(t)))
+        w_err = float(np.max(np.abs(w - w_ex)))
+        return prob, dict(dofs=prob.surf.n_dofs, eta_err=eta_err,
+                          w_err=w_err, wall=wall)
+
+    if args.mode == "p":
+        out = args.out or "data/pf-parallel-pconv-eta.txt"
+        df = DataFile(out, "order surf_dofs eta_err_inf w_err_inf wall_s")
+        for p in range(1, args.max_order + 1):
+            _, r = run(p)
+            df.append(p, r["dofs"], r["eta_err"], r["w_err"], r["wall"])
+            print(f"p={p:2d} eta_err={r['eta_err']:.3e} w_err={r['w_err']:.3e} "
+                  f"wall={r['wall']:.1f}s")
+    else:
+        out = args.out or f"data/pf-parallel-hconv-w{args.order}.txt"
+        df = DataFile(out, "ref order surf_dofs eta_err_inf w_err_inf wall_s")
+        from lpfem.mesh import make_wave_tank
+        mesh = make_wave_tank(args.nx, 1, args.nz)
+        for ref in range(args.refs + 1):
+            _, r = run(args.order, mesh=mesh)
+            df.append(ref, args.order, r["dofs"], r["eta_err"], r["w_err"],
+                      r["wall"])
+            print(f"ref={ref} eta_err={r['eta_err']:.3e} w_err={r['w_err']:.3e} "
+                  f"wall={r['wall']:.1f}s")
+            if ref < args.refs:
+                mesh = mesh.uniform_refine()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Strong / weak scaling harness over the device-mesh shard axis.
+
+Reproduces the reference's protocol (``Convergence_and_Scaling/ss.cpp``,
+``ws.cpp``, ``strongscaling.cpp`` + ``ss.sh``/``ws.sh``): 10 RK4 steps
+(= 40 Laplace solves), orders {3,4}, warm-up step excluded, wall time =
+max over ranks. TPU translation: shard counts sweep a 1-axis
+``jax.sharding.Mesh`` (virtual CPU devices via
+``--xla_force_host_platform_device_count`` when real chips are absent);
+"max over ranks" is inherent — one XLA program, one wall clock.
+
+Strong mode: fixed mesh (wave-tank-big + par refs), shards {1,2,4,8}.
+Weak mode: mesh family big/big2/big4/big8 paired with shards {1,2,4,8}
+(``ws.cpp:116-128`` WeakMeshForRanks).
+
+Usage:
+  python -m experiments.scaling --mode strong --shards 1 2 4 8 --orders 3 4
+  python -m experiments.scaling --mode weak
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+WEAK_MESHES = {1: (32, 2, 8), 2: (64, 2, 8), 4: (64, 2, 16), 8: (128, 2, 16)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["strong", "weak"], default="strong")
+    ap.add_argument("--shards", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--orders", type=int, nargs="+", default=[3, 4])
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--par-ref", type=int, default=0,
+                    help="extra refinements (strong mode)")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--virtual-devices", type=int, default=0,
+                    help="force N virtual CPU devices (0 = use real devices)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.virtual_devices:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={args.virtual_devices}")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    if args.virtual_devices:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from lpfem.configs import preset
+    from lpfem.problem import Problem
+    from lpfem.shard import ShardedProblem, make_device_mesh
+    from lpfem.io import DataFile
+
+    out = args.out or f"data/{args.mode}-scaling.txt"
+    df = DataFile(out, "mode order par_ref shards dofs median_wall_s "
+                       "runs...")
+
+    for order in args.orders:
+        for ns in args.shards:
+            if args.mode == "weak":
+                nx, ny, nz = WEAK_MESHES[min(WEAK_MESHES, key=lambda k: abs(k - ns))]
+                nx, ny, nz = WEAK_MESHES.get(ns, (nx, ny, nz))
+                par_ref = 0
+            else:
+                nx, ny, nz = WEAK_MESHES[1]
+                par_ref = args.par_ref
+            cfg = preset("scaling_base", order=order, nx=nx, ny=ny, nz=nz,
+                         ref_levels=par_ref, dtype=args.dtype,
+                         cg_rtol_sq=1e-8, cg_max_iter=300)
+            prob = Problem(cfg)
+            sprob = ShardedProblem(prob, mesh=make_device_mesh(ns))
+            y0, phi0 = prob.initial_state()
+            # warm-up (excluded, ss.cpp:254) — also compiles
+            sprob.run(n_steps=1, state=(y0, phi0))
+            walls = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                t, y, phi = sprob.run(n_steps=args.steps, state=(y0, phi0))
+                jax.block_until_ready(y)
+                walls.append(time.perf_counter() - t0)
+            med = float(np.median(walls))
+            df.append(args.mode, order, par_ref, ns, prob.space.n_dofs, med,
+                      *[round(w, 4) for w in walls])
+            print(f"{args.mode} order={order} shards={ns} dofs={prob.space.n_dofs} "
+                  f"median={med:.3f}s runs={['%.3f' % w for w in walls]}")
+
+
+if __name__ == "__main__":
+    main()

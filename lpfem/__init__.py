@@ -31,6 +31,19 @@ import jax
 if os.environ.get("LPFEM_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: RK4-scan programs take minutes to compile
+# on TPU; caching makes reruns (bench, experiments, resumed jobs) start in
+# seconds. Opt out with LPFEM_NO_COMPILE_CACHE=1.
+if not os.environ.get("LPFEM_NO_COMPILE_CACHE"):
+    _cache = os.environ.get("LPFEM_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/lpfem-jax"))
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 from . import analytic, elements, mesh, operators, solvers, space, surface, timestep  # noqa: E402,F401
 
 __version__ = "0.1.0"

@@ -50,6 +50,8 @@ class Config:
     # ---- linear solver ----
     cg_rtol_sq: float = 1e-24            # on r.z (squared), MFEM convention
     cg_max_iter: int = 400
+    precond: str = "jacobi"              # jacobi | chebyshev | pmg
+    cheb_degree: int = 3                 # smoother degree (chebyshev / pmg)
     # ---- relaxation zones ----
     relax: bool = False
     Ng: float = 2.0                      # generation zone length, wavelengths

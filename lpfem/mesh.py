@@ -397,6 +397,37 @@ def make_wave_tank_finite(nx: int = 36, ny: int = 1, nz: int = 1,
     return mark_boundary_tank(m, finite=True)
 
 
+def save_mfem(mesh: Mesh, path: str) -> None:
+    """Write an MFEM v1.0 mesh file (generator parity with
+    ``Meshes/wave_tank.cpp:49`` ``mesh.Save(...)``). Periodic meshes carry
+    the per-element L2 geometry nodes section like the committed
+    ``wave-tank.mesh``."""
+    with open(path, "w") as f:
+        f.write("MFEM mesh v1.0\n\ndimension\n3\n\n")
+        f.write(f"elements\n{mesh.n_elems}\n")
+        for e in range(mesh.n_elems):
+            f.write("1 5 " + " ".join(str(v) for v in mesh.elems[e]) + "\n")
+        f.write(f"\nboundary\n{len(mesh.bdr_quads)}\n")
+        for b in range(len(mesh.bdr_quads)):
+            f.write(f"{mesh.bdr_attrs[b]} 3 "
+                    + " ".join(str(v) for v in mesh.bdr_quads[b]) + "\n")
+        f.write(f"\nvertices\n{mesh.n_verts}\n")
+        if mesh.periodic:
+            f.write("\nnodes\nFiniteElementSpace\n"
+                    "FiniteElementCollection: L2_T1_3D_P1\n"
+                    "VDim: 3\nOrdering: 1\n\n")
+            # corner_coords rows are hex-vertex order; the nodes section is
+            # lattice-lex order
+            lex = mesh.corner_coords[:, np.argsort(_HEX_VERT_LEX), :]
+            for e in range(mesh.n_elems):
+                for n in range(8):
+                    f.write(" ".join(f"{c:.16g}" for c in lex[e, n]) + "\n")
+        else:
+            f.write("3\n")
+            for v in range(mesh.n_verts):
+                f.write(" ".join(f"{c:.16g}" for c in mesh.verts[v]) + "\n")
+
+
 # -------------------------------------------------------------------- parsers
 
 def load_mfem(path: str) -> Mesh:

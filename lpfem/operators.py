@@ -213,6 +213,18 @@ class LaplacePA:
         self.Jr = jnp.asarray(_grad_interp_matrix(p, q), dtype=dtype)  # [3,Q,L]
         self.lattice = (StructuredLattice(space.struct, p)
                         if space.struct is not None else None)
+        if mode == "pallas":
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:
+                on_tpu = False
+            if on_tpu and jnp.dtype(dtype) == jnp.float32:
+                ne = self.G.shape[0]
+                # component-major metric layout for the kernel: [ne, 6*Q]
+                self.G6q = jnp.asarray(
+                    np.asarray(self.G).transpose(0, 2, 1).reshape(ne, -1))
+            else:
+                self.mode = "fused"
 
     # ------------------------------------------------------------------ apply
     def gather_E(self, x: jax.Array) -> jax.Array:
@@ -226,6 +238,10 @@ class LaplacePA:
         """Element-local apply: gather -> grad -> G -> grad^T. Returns
         per-element contributions [ne, L] (the E-vector form, pre-scatter)."""
         u = self.gather_E(x)                                 # [ne, L]
+        if self.mode == "pallas":
+            from .kernels.pa_apply import pa_apply_element_kernel
+            Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)
+            return pa_apply_element_kernel(u, self.G6q, Jr2, Q=self.q ** 3)
         if self.mode == "fused":
             # one [E, L] @ [L, 3Q] matmul (MXU), VPU elementwise G, transpose
             Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)        # [3Q, L]
@@ -395,6 +411,67 @@ class NodalZDerivative:
         w_e = jnp.einsum("eli,eli->el", self.Jinv_z, ghat)
 
         return op.assemble(w_e) * self.inv_mult
+
+
+class AssembledLaplace:
+    """Fully assembled sparse Laplace operator on device (ELL format).
+
+    The full-assembly mode of the reference (``BilinearForm::Assemble`` +
+    hypre ParCSR SpMV, ``Solvers/PF_linear_par.cpp:114-120``). Rows are
+    padded to the max nnz; the apply is one gather + row-sum. On TPU the
+    matrix-free PA path is faster (better arithmetic intensity, no gathers on
+    the structured lattice) — this exists for capability parity, for
+    unstructured meshes where assembled SpMV can win at low order, and as
+    the reference operator in tests.
+    """
+
+    def __init__(self, pa: LaplacePA):
+        import scipy.sparse as sp
+        A = pa.assemble_scipy().tocsr()
+        A.sum_duplicates()
+        n = A.shape[0]
+        nnz_row = np.diff(A.indptr)
+        k = int(nnz_row.max())
+        cols = np.zeros((n, k), dtype=np.int32)
+        vals = np.zeros((n, k))
+        for i in range(n):
+            s, e = A.indptr[i], A.indptr[i + 1]
+            cols[i, : e - s] = A.indices[s:e]
+            vals[i, : e - s] = A.data[s:e]
+        self.n_dofs = n
+        self.row_nnz_max = k
+        self.cols = jnp.asarray(cols)
+        self.vals = jnp.asarray(vals, dtype=pa.dtype)
+        self.diag = jnp.asarray(A.diagonal(), dtype=pa.dtype)
+        self._csr = A
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        return jnp.sum(self.vals * x[self.cols], axis=1)
+
+    def constrained_apply(self, x: jax.Array, ess: jax.Array) -> jax.Array:
+        x0 = x.at[ess].set(0.0)
+        y = self.apply(x0)
+        return y.at[ess].set(x[ess])
+
+    def gauss_seidel_host(self, b: np.ndarray, x0: np.ndarray,
+                          sweeps: int = 1) -> np.ndarray:
+        """Symmetric Gauss-Seidel sweeps on host (SciPy triangular solves) —
+        the semantics of MFEM's serial ``GSSmoother``
+        (``Solvers/laplace_solver.cpp:112``). Inherently sequential, hence a
+        host-side validation/serial-parity path; the TPU-side preconditioners
+        of equal role are Chebyshev-Jacobi and p-multigrid
+        (:mod:`lpfem.multigrid`)."""
+        import scipy.sparse as sp
+        from scipy.sparse.linalg import spsolve_triangular
+        A = self._csr
+        L = sp.tril(A, format="csr")
+        U = sp.triu(A, format="csr")
+        D = A.diagonal()
+        x = x0.copy()
+        for _ in range(sweeps):
+            x = spsolve_triangular(L, b - U @ x + D * x, lower=True)
+            x = spsolve_triangular(U, b - L @ x + D * x, lower=False)
+        return x
 
 
 def nodal_z_derivative(op: LaplacePA, x: jax.Array) -> jax.Array:

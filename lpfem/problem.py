@@ -94,9 +94,27 @@ class Problem:
                                           n_ramp=cfg.n_ramp, dtype=self.dtype)
         self.relax = relax
 
+        precond_fn = None
+        if cfg.precond == "pmg":
+            from .multigrid import PMultigrid
+            precond_fn = PMultigrid(self.op, smooth_degree=cfg.cheb_degree,
+                                    ess_dofs=np.asarray(self.surf.surf_to_vol))
+        elif cfg.precond == "chebyshev":
+            from .multigrid import ChebyshevSmoother, estimate_lmax
+            ess = jnp.asarray(self.surf.surf_to_vol)
+            inv_diag = 1.0 / self.op.diag.at[ess].set(1.0)
+            apply_c = lambda v: self.op.constrained_apply(v, ess)
+            lmax = estimate_lmax(apply_c, inv_diag, self.space.n_dofs,
+                                 dtype=self.dtype)
+            precond_fn = ChebyshevSmoother(apply_c, inv_diag, lmax,
+                                           degree=cfg.cheb_degree)
+        elif cfg.precond != "jacobi":
+            raise ValueError(f"unknown precond {cfg.precond!r}")
+
         self.fso = FreeSurfaceOperator(
             self.op, self.surf, g=cfg.g, relax=relax,
-            cg_rtol_sq=cfg.cg_rtol_sq, cg_max_iter=cfg.cg_max_iter)
+            cg_rtol_sq=cfg.cg_rtol_sq, cg_max_iter=cfg.cg_max_iter,
+            precond_fn=precond_fn)
 
     # ----------------------------------------------------------- initial data
     def initial_state(self, t: float = 0.0):

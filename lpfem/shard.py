@@ -382,7 +382,9 @@ class ShardedProblem:
 
     # ------------------------------------------------------------------ API
     def run(self, n_steps: int | None = None, t0: float = 0.0, state=None):
-        """Full sharded RK4 run. Returns (t, y_replicated, phi_global)."""
+        """Full sharded RK4 run. Returns (t, y_replicated, phi_global).
+
+        Compiled programs are cached per (n_steps, t0)."""
         prob = self.prob
         if n_steps is None:
             n_steps = prob.cfg.nsteps
@@ -391,6 +393,12 @@ class ShardedProblem:
         else:
             y0, phi0_g = state
         phi0 = jnp.asarray(self.pt.stack_dof(np.asarray(phi0_g)), dtype=self.dtype)
+        if not hasattr(self, "_compiled"):
+            self._compiled = {}
+        key = (n_steps, float(t0))
+        if key in self._compiled:
+            t, y, phi = self._compiled[key](y0, phi0)
+            return t, y, phi
         rhs = self._make_spmd_rhs()
         dt = prob.dt
 
@@ -420,11 +428,15 @@ class ShardedProblem:
             check_vma=False,
         )
         fn = jax.jit(fn)
-        t, y, phi = fn(y0, phi0, self.led, self.G, self.own_if_pos,
-                       self.own_if_loc, self.halo_pos, self.ess_mask,
-                       self.inv_diag, self.inv_mult, self.surf_pos,
-                       self.surf_loc, self.Jinv_z)
-        return t, y, phi
+
+        def call(y0, phi0):
+            return fn(y0, phi0, self.led, self.G, self.own_if_pos,
+                      self.own_if_loc, self.halo_pos, self.ess_mask,
+                      self.inv_diag, self.inv_mult, self.surf_pos,
+                      self.surf_loc, self.Jinv_z)
+
+        self._compiled[key] = call
+        return call(y0, phi0)
 
     def phi_global(self, phi_stacked) -> np.ndarray:
         return self.pt.unstack_dof(np.asarray(phi_stacked))

@@ -74,6 +74,14 @@ def build_hex_dofs(elems: np.ndarray, n_verts: int, p: int):
     face_id = inv_f.reshape(ne, 6)
     nF = len(uniq_f)
 
+    # native C++ fast path for large meshes (identical sharing semantics,
+    # ids permuted — see lpfem/native)
+    if ne * p1 ** 3 > 2_000_000:
+        from . import native
+        res = native.build_hex_dofs(elems, n_verts, p)
+        if res is not None:
+            return res[0], res[1], (uniq_f, face_id)
+
     elem_dofs = np.zeros((ne, p1 ** 3), dtype=np.int64)
     for v, (vx, vy, vz) in enumerate(HEX_VERTS):
         elem_dofs[:, lat(vx * p, vy * p, vz * p)] = elems[:, v]

@@ -115,7 +115,8 @@ class FreeSurfaceOperator:
                  g: float = 9.81,
                  relax: RelaxationZones | None = None,
                  cg_rtol_sq: float = 1e-24, cg_atol_sq: float = 0.0,
-                 cg_max_iter: int = 1000):
+                 cg_max_iter: int = 1000,
+                 precond_fn=None):
         self.op = op
         self.surf = surf
         self.g = g
@@ -133,6 +134,8 @@ class FreeSurfaceOperator:
         # Jacobi preconditioner diagonal with identity on essential dofs
         diag_c = op.diag.at[self.ess].set(1.0)
         self._inv_diag = 1.0 / diag_c
+        self._precond = precond_fn if precond_fn is not None \
+            else (lambda r: r * self._inv_diag)
 
     # ------------------------------------------------------------- laplace
     def solve_laplace(self, phi_fs: jax.Array, phi_warm: jax.Array):
@@ -143,7 +146,7 @@ class FreeSurfaceOperator:
         B, _ = op.constrained_rhs(b, ess, phi_fs)
         x0 = phi_warm.at[ess].set(phi_fs)
         res = pcg(lambda v: op.constrained_apply(v, ess), B, x0,
-                  precond_fn=lambda r: r * self._inv_diag,
+                  precond_fn=self._precond,
                   rtol_sq=self.cg_rtol_sq, atol_sq=self.cg_atol_sq,
                   max_iter=self.cg_max_iter)
         return res.x, res.iters

@@ -1,0 +1,108 @@
+"""Native C++ kernels, cylinder mesh, io, analytic series."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lpfem import native
+from lpfem.cylmesh import make_half_cylinder_tank
+from lpfem.mesh import make_wave_tank, make_wave_tank_finite, load_mfem
+from lpfem.space import H1Space, SurfaceSpace, build_hex_dofs
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+@pytest.mark.parametrize("p", [2, 3, 4])
+def test_native_dof_numbering_semantics(p):
+    m = make_wave_tank(4, 2, 2)
+    ednp, nnp, _ = build_hex_dofs(m.elems, m.n_verts, p)
+    edc, nc = native.build_hex_dofs(m.elems, m.n_verts, p)
+    assert nnp == nc
+    # ids may be permuted; the sharing pattern must be identical
+    def canon(ed):
+        flat = ed.ravel()
+        first = {}
+        out = np.zeros_like(flat)
+        for i, v in enumerate(flat):
+            out[i] = first.setdefault(v, len(first))
+        return out
+    assert np.array_equal(canon(ednp), canon(edc))
+
+
+def test_half_cylinder_mesh_valid():
+    from lpfem.operators import LaplacePA, geometric_factors
+    m = make_half_cylinder_tank(n_theta=12, n_r=6, nz=2)
+    sp = H1Space(m, 2)
+    op = LaplacePA(sp)  # raises on inverted elements
+    # volume below the analytic (faceted cylinder) but close
+    import jax.numpy as jnp
+    vol = float(jnp.sum(op.wdetJ))
+    exact = 12 * 6 * (1 / (2 * np.pi)) - 0.5 * np.pi * 0.25 * (1 / (2 * np.pi))
+    assert 0.97 * exact < vol < exact
+    # attrs: free surface and cylinder wall exist
+    surf = SurfaceSpace(sp, attr=2)
+    cyl = SurfaceSpace(sp, attr=3)
+    r = np.hypot(cyl.node_coords[:, 0] - 4.0, cyl.node_coords[:, 1])
+    assert np.all(np.abs(r - 0.5) < 6e-3)
+
+
+def test_mccamy_fuchs_known_values():
+    from lpfem.analytic import mccamy_fuchs_envelope
+    # long-wave limit ka->0: runup -> ~2 upwave... sanity: values positive,
+    # bounded, and the up-wave side (theta=pi) exceeds the shadow (theta=0)
+    th = np.linspace(0, np.pi, 91)
+    env = mccamy_fuchs_envelope(th, ka=np.pi)  # ka for lambda=1, a=0.5
+    assert np.all(env > 0) and np.all(env < 4)
+    assert env[-1] > env[0]   # run-up on the incident side
+
+
+def test_io_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from lpfem.io import (DataFile, ParaViewCollection, load_checkpoint,
+                          save_checkpoint, write_vtu, write_vtu_surface)
+    m = make_wave_tank_finite(4, 1, 1)
+    sp = H1Space(m, 2)
+    surf = SurfaceSpace(sp, attr=2)
+    u = sp.project(lambda x, y, z: x + y * z)
+    pc = ParaViewCollection(str(tmp_path), "t")
+    pc.save(0, 0.0, write_vtu, sp, {"u": u})
+    pc.save(1, 0.5, write_vtu_surface, surf, {"v": u[surf.surf_to_vol]})
+    assert os.path.exists(tmp_path / "t" / "t.pvd")
+    ck = tmp_path / "c.npz"
+    save_checkpoint(str(ck), step=3, t=1.5, y=u[:10], phi=u, run="x")
+    step, t, y, phi, meta = load_checkpoint(str(ck))
+    assert step == 3 and t == 1.5 and meta["run"] == "x"
+    assert np.allclose(y, u[:10])
+    df = DataFile(str(tmp_path / "d.txt"), "a b")
+    df.append(1, 2.5)
+    df2 = DataFile(str(tmp_path / "d.txt"), "a b")
+    df2.append(2, 3.5)
+    assert df2.read().shape == (2, 2)
+
+
+def test_mfem_parser_roundtrip_via_reference():
+    """Parse the committed periodic mesh if the reference tree is mounted."""
+    path = "/root/reference/Meshes/wave-tank.mesh"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    m = load_mfem(path)
+    assert m.n_elems == 3 and m.n_verts == 12 and m.periodic
+    assert m.periodic_axes == (0,)
+    # same counts as our generator
+    g = make_wave_tank(3, 1, 1)
+    sp_m = H1Space(m, 3)
+    sp_g = H1Space(g, 3)
+    assert sp_m.n_dofs == sp_g.n_dofs
+
+
+def test_gmsh_parser_via_reference():
+    path = "/root/reference/Meshes/mesh_cylinder_half.msh"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    from lpfem.mesh import load_gmsh
+    m = load_gmsh(path)
+    assert m.n_elems > 0
+    assert 2 in m.bdr_attrs and 3 in m.bdr_attrs
+    from lpfem.operators import LaplacePA
+    sp = H1Space(m, 1)
+    LaplacePA(sp)   # positive Jacobians
