@@ -57,6 +57,11 @@ def main():
                  ("k", w.k), ("lambda", w.wavelength), ("cwave", w.c),
                  ("H", w.H)]:
         print(f"  {k:7s}= {v:.6g}")
+    # dispersion self-check (Convergence_and_Scaling/laplace_convergence.cpp:51-52):
+    # phase speed from dispersion minus omega/k should print ~0
+    import numpy as _np
+    cs = _np.sqrt(prob.cfg.g / w.k * _np.tanh(w.kh))
+    print(f"  dispersion check (cs - omega/k) = {cs - w.omega / w.k:.3e}")
     print(f"dofs: volume={prob.space.n_dofs} surface={prob.surf.n_dofs} "
           f"dt={prob.dt:.6g} nsteps={cfg.nsteps}")
 

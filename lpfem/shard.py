@@ -23,31 +23,34 @@ Design (maps the MPI inventory 1:1 onto XLA collectives over a 1-axis mesh):
 - The free-surface state (a 2D trace, asymptotically negligible) is
   replicated; surface gathers ride the same psum buffer — the analogue of
   the diffraction driver's ``MPI_Allgatherv`` (``cylinder-diffraction.cpp:537-560``).
+- The p-multigrid preconditioner shards level-by-level: every level's space
+  is partitioned over the SAME element slabs, so transfers are element-local
+  interpolations + the level's own interface assembly.
 
-Everything — halo exchange, CG, RK4 — runs inside ONE ``shard_map``-ed jit,
-so ICI latency overlaps compute and there are no host round-trips
-(the MPI build pays a host-side Allreduce per CG dot).
+Everything — halo exchange, CG, the V-cycle, RK4 — runs inside ONE
+``shard_map``-ed jit, so ICI latency overlaps compute and there are no host
+round-trips (the MPI build pays a host-side Allreduce per CG dot).
 
 Padding conventions: local trash lane = ``N_max`` (vectors are length
-``N_max+1``; slice it off at the end), interface trash slot = ``NS``
+``N_max+1``; sliced off after assembly), interface trash slot = ``NS``
 (buffers are ``NS+1``), surface trash = ``NSurf``.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .operators import LaplacePA, _nodal_geom_basis, _LEX_OF_VERT
+from .operators import LaplacePA, _apply_G6
 from .problem import Problem
 from .solvers import pcg
 from .timestep import rk4_run
 
-__all__ = ["Partition", "ShardedProblem", "make_device_mesh"]
+__all__ = ["Partition", "ShardedLevel", "ShardedProblem", "make_device_mesh"]
 
 
 def make_device_mesh(n_dev: int | None = None, devices=None) -> Mesh:
@@ -57,21 +60,25 @@ def make_device_mesh(n_dev: int | None = None, devices=None) -> Mesh:
 
 
 class Partition:
-    """Host-side partition tables for an :class:`H1Space` over ``ndev`` shards."""
+    """Host-side partition tables for an :class:`H1Space` over ``ndev`` shards.
 
-    def __init__(self, space, ndev: int):
+    ``part`` (element -> device) may be supplied so multiple spaces (the MG
+    level hierarchy) share one element decomposition.
+    """
+
+    def __init__(self, space, ndev: int, part: np.ndarray | None = None):
         self.ndev = ndev
         ed = space.elem_dofs
         ne, L = ed.shape
         n = space.n_dofs
 
-        # --- contiguous slabs by element centroid (x, y, z)-major ---
-        cen = space.mesh.corner_coords.mean(axis=1)
-        order = np.lexsort((cen[:, 2], cen[:, 1], cen[:, 0]))
-        part = np.zeros(ne, dtype=np.int64)
-        splits = np.array_split(order, ndev)
-        for d, idx in enumerate(splits):
-            part[idx] = d
+        if part is None:
+            # contiguous slabs by element centroid (x, y, z)-major
+            cen = space.mesh.corner_coords.mean(axis=1)
+            order = np.lexsort((cen[:, 2], cen[:, 1], cen[:, 0]))
+            part = np.zeros(ne, dtype=np.int64)
+            for d, idx in enumerate(np.array_split(order, ndev)):
+                part[idx] = d
         self.part = part
 
         # --- dof ownership: min / max device touching each dof ---
@@ -82,16 +89,15 @@ class Partition:
         np.maximum.at(pmax, ed.ravel(), pe)
         owner = pmin
         self.owner = owner
-        iface = pmin != pmax                      # interface dofs
+        iface = pmin != pmax
         self.n_iface = int(iface.sum())
 
         # owner-major renumbering; local index within owner block
         new_of_old = np.argsort(np.argsort(owner, kind="stable"), kind="stable")
-        # offsets per device
         n_own = np.bincount(owner, minlength=ndev)
         self.n_own = n_own
         offs = np.concatenate([[0], np.cumsum(n_own)])
-        loc_of_dof = new_of_old - offs[owner]     # local index in its owner
+        loc_of_dof = new_of_old - offs[owner]
         self.N_max = int(n_own.max())
         self.loc_of_dof = loc_of_dof
         self.offs = offs
@@ -102,30 +108,24 @@ class Partition:
         self.NS = NS
         s_pos = np.full(n, -1, dtype=np.int64)
         s_pos[s_ids] = np.arange(NS)
+        self.s_pos = s_pos
 
-        # --- per-device tables ---
-        N_max, TR = self.N_max, self.N_max       # TR: local trash lane
+        N_max = self.N_max
         elems_of = [np.where(part == d)[0] for d in range(ndev)]
         self.elems_of = elems_of
         E_max = max(len(e) for e in elems_of)
         self.E_max = E_max
 
-        led = np.full((ndev, E_max, L), 0, dtype=np.int64)
-        halo_pos_l, own_if_pos_l, own_if_loc_l = [], [], []
-        H_counts = []
+        led = np.full((ndev, E_max, L), N_max, dtype=np.int64)
         halo_of = []
         for d in range(ndev):
-            es = elems_of[d]
-            dofs = ed[es]                         # [Ed, L]
-            own_mask = owner[dofs] == d
-            halo_ids = np.unique(dofs[~own_mask])
-            h_idx = {g: i for i, g in enumerate(halo_ids)}
-            H_counts.append(len(halo_ids))
-            halo_of.append(halo_ids)
-        H_max = max(H_counts) if H_counts else 0
+            dofs = ed[elems_of[d]]
+            halo_of.append(np.unique(dofs[owner[dofs] != d]))
+        H_max = max((len(h) for h in halo_of), default=0)
         self.H_max = H_max
 
         halo_pos = np.full((ndev, max(H_max, 1)), NS, dtype=np.int64)
+        own_if_pos_l, own_if_loc_l = [], []
         for d in range(ndev):
             es = elems_of[d]
             dofs = ed[es]
@@ -133,24 +133,17 @@ class Partition:
             halo_ids = halo_of[d]
             h_idx = np.full(n, -1, dtype=np.int64)
             h_idx[halo_ids] = np.arange(len(halo_ids))
+            # local layout: [own(N_max), trash(1), halo(H_max), htrash(1)]
             local = np.where(own_mask, loc_of_dof[dofs], N_max + 1 + h_idx[dofs])
             led[d, : len(es)] = local
-            led[d, len(es):] = N_max              # padded elements -> trash lane
-            # halo dofs must all be interface dofs
             assert np.all(s_pos[halo_ids] >= 0)
             halo_pos[d, : len(halo_ids)] = s_pos[halo_ids]
-            # owned interface dofs
             o_ids = np.where((owner == d) & iface)[0]
             own_if_pos_l.append(s_pos[o_ids])
             own_if_loc_l.append(loc_of_dof[o_ids])
 
-        # note: local layout is [own (N_max), trash (1), halo (H_max), htrash(1)]
-        # -> x_loc length N_max + 1 + H_max + 1; trash lane N_max absorbs
-        # padded-element writes; halo slot addresses are N_max+1+h.
         self.local_elem_dofs = led.astype(np.int32)
-
-        NIo_max = max(len(a) for a in own_if_pos_l) if ndev > 1 else 1
-        NIo_max = max(NIo_max, 1)
+        NIo_max = max(max((len(a) for a in own_if_pos_l), default=0), 1)
         oip = np.full((ndev, NIo_max), NS, dtype=np.int64)
         oil = np.full((ndev, NIo_max), N_max, dtype=np.int64)
         for d in range(ndev):
@@ -163,25 +156,21 @@ class Partition:
 
     # ------------------------------------------------------------- helpers
     def stack_elem(self, arr: np.ndarray, fill=0.0) -> np.ndarray:
-        """Stack a per-element array [ne, ...] into [ndev, E_max, ...]."""
-        out_shape = (self.ndev, self.E_max) + arr.shape[1:]
-        out = np.full(out_shape, fill, dtype=arr.dtype)
+        out = np.full((self.ndev, self.E_max) + arr.shape[1:], fill,
+                      dtype=arr.dtype)
         for d, es in enumerate(self.elems_of):
             out[d, : len(es)] = arr[es]
         return out
 
     def stack_dof(self, vec: np.ndarray, fill=0.0) -> np.ndarray:
-        """Distribute a global dof vector [n, ...] into [ndev, N_max+1, ...]
-        (owner lanes; trash lane at N_max)."""
-        out_shape = (self.ndev, self.N_max + 1) + vec.shape[1:]
-        out = np.full(out_shape, fill, dtype=vec.dtype)
+        out = np.full((self.ndev, self.N_max + 1) + vec.shape[1:], fill,
+                      dtype=vec.dtype)
         for d in range(self.ndev):
             ids = np.where(self.owner == d)[0]
             out[d, self.loc_of_dof[ids]] = vec[ids]
         return out
 
     def unstack_dof(self, stacked: np.ndarray) -> np.ndarray:
-        """Gather [ndev, N_max(+1), ...] back to a global dof vector."""
         n = len(self.owner)
         out = np.zeros((n,) + stacked.shape[2:], dtype=stacked.dtype)
         for d in range(self.ndev):
@@ -190,11 +179,220 @@ class Partition:
         return out
 
 
+class ShardedLevel:
+    """SPMD operator machinery for one space/operator over a Partition.
+
+    Holds the stacked (host->device) tables and provides the per-device
+    primitives used inside shard_map. Per-device table slices travel as a
+    dict pytree; static sizes live on the instance.
+    """
+
+    def __init__(self, op: LaplacePA, pt: Partition,
+                 ess_dofs: np.ndarray, axis: str = "shard"):
+        self.op = op
+        self.pt = pt
+        self.axis = axis
+        self.N_max, self.H_max, self.NS = pt.N_max, pt.H_max, pt.NS
+        self.Q = op.q ** 3
+        self.Jr2 = op.Jr.reshape(3 * self.Q, -1)
+        dtype = op.dtype
+        n = op.n_dofs
+
+        ess_mask_g = np.zeros(n)
+        ess_mask_g[ess_dofs] = 1.0
+        diag_c = np.where(ess_mask_g > 0, 1.0, np.asarray(op.diag))
+        dstack = pt.stack_dof(diag_c, fill=1.0)
+        dstack[:, pt.N_max] = 1.0
+        mstack = pt.stack_dof(op.space.node_mult, fill=1.0)
+        mstack[:, pt.N_max] = 1.0
+
+        self.tables = {
+            "led": jnp.asarray(pt.local_elem_dofs),
+            "G": jnp.asarray(pt.stack_elem(np.asarray(op.G)), dtype=dtype),
+            "oip": jnp.asarray(pt.own_if_pos),
+            "oil": jnp.asarray(pt.own_if_loc),
+            "hp": jnp.asarray(pt.halo_pos),
+            "ess": jnp.asarray(pt.stack_dof(ess_mask_g), dtype=dtype),
+            "invd": jnp.asarray(1.0 / dstack, dtype=dtype),
+            "invm": jnp.asarray(1.0 / mstack, dtype=dtype),
+        }
+
+    # ---- device-side primitives (tb = per-device slice of self.tables) ----
+    def _psum(self, x):
+        return jax.lax.psum(x, self.axis)
+
+    def gather_loc(self, tb, x_own):
+        buf = jnp.zeros(self.NS + 1, dtype=x_own.dtype)
+        buf = buf.at[tb["oip"]].set(x_own[tb["oil"]])
+        buf = self._psum(buf)
+        halo = buf[tb["hp"]]
+        return jnp.concatenate([x_own, halo, jnp.zeros(1, dtype=x_own.dtype)])
+
+    def assemble_own(self, tb, y_loc):
+        y_own = y_loc[: self.N_max + 1]
+        y_halo = y_loc[self.N_max + 1: self.N_max + 1 + self.H_max]
+        buf = jnp.zeros(self.NS + 1, dtype=y_loc.dtype)
+        buf = buf.at[tb["hp"]].add(y_halo)
+        buf = self._psum(buf)
+        return y_own.at[tb["oil"]].add(buf[tb["oip"]]).at[self.N_max].set(0.0)
+
+    def gather_E(self, tb, x_own):
+        return self.gather_loc(tb, x_own)[tb["led"]]
+
+    def assemble_E(self, tb, ye):
+        y_loc = jnp.zeros(self.N_max + 1 + self.H_max + 1, dtype=ye.dtype
+                          ).at[tb["led"]].add(ye)
+        return self.assemble_own(tb, y_loc)
+
+    def apply_own(self, tb, x_own):
+        """A x on owned lanes (no BC)."""
+        u = self.gather_E(tb, x_own)
+        g = jnp.einsum("gl,el->eg", self.Jr2, u).reshape(-1, 3, self.Q)
+        h = _apply_G6(tb["G"], g[:, 0], g[:, 1], g[:, 2])
+        ye = jnp.einsum("gl,eg->el", self.Jr2, h.reshape(h.shape[0], -1))
+        return self.assemble_E(tb, ye)
+
+    def apply_c(self, tb, x_own):
+        """Constrained apply: identity on essential lanes."""
+        free = 1.0 - tb["ess"]
+        y = self.apply_own(tb, x_own * free)
+        return y * free + x_own * tb["ess"]
+
+    def pdot(self, a, b):
+        return self._psum(jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST))
+
+
+class _ShardedChebyshev:
+    """Per-device Chebyshev-Jacobi smoother over a ShardedLevel."""
+
+    def __init__(self, level: ShardedLevel, lmax: float, degree: int = 3,
+                 lmin_frac: float = 1.0 / 30.0):
+        self.level = level
+        self.degree = degree
+        lmin = lmin_frac * lmax
+        self.theta = (lmax + lmin) / 2.0
+        self.delta = (lmax - lmin) / 2.0
+
+    def __call__(self, tb, r, z0=None):
+        lv = self.level
+        invD = tb["invd"]
+        if z0 is None:
+            res = r
+            z = jnp.zeros_like(r)
+        else:
+            z = z0
+            res = r - lv.apply_c(tb, z)
+        sigma = self.theta / self.delta
+        rho = 1.0 / sigma
+        d = invD * res / self.theta
+        z = z + d
+        for _ in range(self.degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho * d
+                 + (2.0 * rho_new / self.delta) * (invD * (r - lv.apply_c(tb, z))))
+            z = z + d
+            rho = rho_new
+        return z
+
+
+class ShardedPMG:
+    """Sharded p-multigrid V-cycle: per-level ShardedLevels over one element
+    partition + embedded-interpolation transfers (see lpfem.multigrid for the
+    single-device variant and the SPD-consistency argument)."""
+
+    def __init__(self, prob: Problem, pt_fine: Partition, ndev: int,
+                 smooth_degree: int = 3, coarse_cheb_degree: int = 16):
+        from .elements import basis_1d, lagrange_eval
+        from .multigrid import PMultigrid, estimate_lmax, _interp_1d
+        from .space import H1Space
+
+        space = prob.space
+        mesh = space.mesh
+        p = space.p
+        orders = []
+        q = p
+        while q > 1:
+            orders.append(q)
+            q = max(1, q // 2)
+        orders.append(1)
+        self.orders = orders
+
+        self.levels: list[ShardedLevel] = []
+        ess_fine = np.asarray(prob.surf.surf_to_vol)
+        for li, pl in enumerate(orders):
+            if li == 0:
+                op = prob.op
+                pt = pt_fine
+                ess = ess_fine
+            else:
+                sp = H1Space(mesh, pl)
+                op = LaplacePA(sp, dtype=prob.op.dtype, mode="fused")
+                pt = Partition(sp, ndev, part=pt_fine.part)
+                ess = sp.boundary_dofs(2)
+            self.levels.append(ShardedLevel(op, pt, ess))
+
+        self.I3 = []
+        for li in range(len(orders) - 1):
+            pf, pc = orders[li], orders[li + 1]
+            I1 = _interp_1d(pc, pf)
+            I3 = np.einsum("cz,by,ax->cbazyx", I1, I1, I1).reshape(
+                (pf + 1) ** 3, (pc + 1) ** 3)
+            self.I3.append(jnp.asarray(I3, dtype=prob.op.dtype))
+
+        # eigenvalue estimates on the single-device operators (same spectra)
+        self.lmax = []
+        for li, pl in enumerate(orders):
+            op = self.levels[li].op
+            sp = op.space
+            ess = ess_fine if li == 0 else sp.boundary_dofs(2)
+            essj = jnp.asarray(ess)
+            inv_diag = 1.0 / op.diag.at[essj].set(1.0)
+            from .multigrid import estimate_lmax as _el
+            self.lmax.append(_el(lambda v: op.constrained_apply(v, essj),
+                                 inv_diag, op.n_dofs, dtype=op.dtype))
+        self.smoothers = [
+            _ShardedChebyshev(lv, lm, degree=smooth_degree)
+            for lv, lm in zip(self.levels, self.lmax)]
+        self.smoothers[-1] = _ShardedChebyshev(
+            self.levels[-1], self.lmax[-1], degree=coarse_cheb_degree)
+
+    def all_tables(self):
+        """The stacked tables of every level as one pytree (for shard_map)."""
+        return [lv.tables for lv in self.levels]
+
+    # device-side ---------------------------------------------------------
+    def prolong(self, li, tbs, xc):
+        fine, coarse = self.levels[li], self.levels[li + 1]
+        uc = coarse.gather_E(tbs[li + 1], xc)
+        uf = jnp.einsum("fc,ec->ef", self.I3[li], uc)
+        xf = fine.assemble_E(tbs[li], uf) * tbs[li]["invm"]
+        return xf * (1.0 - tbs[li]["ess"])
+
+    def restrict(self, li, tbs, rf):
+        fine, coarse = self.levels[li], self.levels[li + 1]
+        uf = fine.gather_E(tbs[li], rf * tbs[li]["invm"])
+        uc = jnp.einsum("fc,ef->ec", self.I3[li], uf)
+        rc = coarse.assemble_E(tbs[li + 1], uc)
+        return rc * (1.0 - tbs[li + 1]["ess"])
+
+    def vcycle(self, tbs, r, li=0):
+        lv = self.levels[li]
+        sm = self.smoothers[li]
+        if li == len(self.levels) - 1:
+            return sm(tbs[li], r)
+        z = sm(tbs[li], r)
+        rc = self.restrict(li, tbs, r - lv.apply_c(tbs[li], z))
+        zc = self.vcycle(tbs, rc, li + 1)
+        z = z + self.prolong(li, tbs, zc)
+        return sm(tbs[li], r, z0=z)
+
+
 class ShardedProblem:
     """SPMD form of :class:`~lpfem.problem.Problem` over a device mesh axis.
 
     The surface state is replicated; the volume potential and all element
-    data are sharded. ``run`` executes the full RK4 loop inside a single
+    data are sharded. ``run`` executes the full RK4 loop (with the CG solve
+    and, when configured, the p-multigrid V-cycle) inside a single
     ``shard_map``-ed jit.
     """
 
@@ -209,162 +407,93 @@ class ShardedProblem:
         pt = Partition(sp, ndev)
         self.pt = pt
         dtype = op.dtype
+        self.dtype = dtype
 
-        # ---- sharded static tables ----
-        self.led = jnp.asarray(pt.local_elem_dofs)               # [ndev,E_max,L]
-        self.G = jnp.asarray(pt.stack_elem(np.asarray(op.G)), dtype=dtype)
-        self.own_if_pos = jnp.asarray(pt.own_if_pos)
-        self.own_if_loc = jnp.asarray(pt.own_if_loc)
-        self.halo_pos = jnp.asarray(pt.halo_pos)
-        self.Jr = op.Jr
+        ess_fine = np.asarray(prob.surf.surf_to_vol)
+        self.fine = ShardedLevel(op, pt, ess_fine)
+        self.N_max = pt.N_max
 
-        # diagonal (with essential lanes = 1) distributed to owners
-        ess_global = np.zeros(sp.n_dofs)
-        ess_global[np.asarray(prob.surf.surf_to_vol)] = 1.0
-        diag = np.asarray(op.diag)
-        diag_c = np.where(ess_global > 0, 1.0, diag)
-        dstack = pt.stack_dof(diag_c, fill=1.0)
-        dstack[:, pt.N_max] = 1.0
-        self.inv_diag = jnp.asarray(1.0 / dstack, dtype=dtype)   # [ndev,N_max+1]
-        self.ess_mask = jnp.asarray(pt.stack_dof(ess_global), dtype=dtype)
+        self.pmg = None
+        if prob.cfg.precond == "pmg" and sp.p > 1:
+            self.pmg = ShardedPMG(prob, pt, ndev,
+                                  smooth_degree=prob.cfg.cheb_degree)
 
         # ---- z-derivative tables ----
         zd = prob.fso.zderiv
-        self.Jinv_z = jnp.asarray(pt.stack_elem(np.asarray(zd.Jinv_z)), dtype=dtype)
+        self.Jinv_z = jnp.asarray(pt.stack_elem(np.asarray(zd.Jinv_z)),
+                                  dtype=dtype)
         self.Dn = zd.Dn
-        mult = sp.node_mult
-        mstack = pt.stack_dof(mult, fill=1.0)
-        mstack[:, pt.N_max] = 1.0
-        self.inv_mult = jnp.asarray(1.0 / mstack, dtype=dtype)
+        self.p1 = sp.p + 1
 
         # ---- surface <-> volume (surface state replicated) ----
-        s2v = np.asarray(prob.surf.surf_to_vol)
+        s2v = ess_fine
         NSurf = len(s2v)
         self.NSurf = NSurf
         sp_owner = pt.owner[s2v]
-        spos_l, sloc_l = [], []
+        NSo = max(int(np.max(np.bincount(sp_owner, minlength=ndev))), 1)
+        spos = np.full((ndev, NSo), NSurf, dtype=np.int64)
+        sloc = np.full((ndev, NSo), pt.N_max, dtype=np.int64)
         for d in range(ndev):
             sel = np.where(sp_owner == d)[0]
-            spos_l.append(sel)
-            sloc_l.append(pt.loc_of_dof[s2v[sel]])
-        NSo_max = max(max(len(a) for a in spos_l), 1)
-        spos = np.full((ndev, NSo_max), NSurf, dtype=np.int64)
-        sloc = np.full((ndev, NSo_max), pt.N_max, dtype=np.int64)
-        for d in range(ndev):
-            spos[d, : len(spos_l[d])] = spos_l[d]
-            sloc[d, : len(sloc_l[d])] = sloc_l[d]
+            spos[d, : len(sel)] = sel
+            sloc[d, : len(sel)] = pt.loc_of_dof[s2v[sel]]
         self.surf_pos = jnp.asarray(spos.astype(np.int32))
         self.surf_loc = jnp.asarray(sloc.astype(np.int32))
 
-        self.p1 = sp.p + 1
-        self.NS = pt.NS
-        self.N_max = pt.N_max
-        self.H_max = pt.H_max
-        self.dtype = dtype
-
-    # ================= device-side SPMD pieces (run inside shard_map) =====
-    # All methods below take PER-DEVICE slices (no leading ndev axis).
-
-    def _psum(self, x):
-        return jax.lax.psum(x, "shard")
-
-    def _gather_loc(self, x_own, tables):
-        """own [N_max+1] -> local [N_max+1+H_max+1] with halo filled via psum."""
-        led, G, oip, oil, hp = tables
-        buf = jnp.zeros(self.NS + 1, dtype=x_own.dtype)
-        buf = buf.at[oip].set(x_own[oil])
-        buf = self._psum(buf)
-        halo = buf[hp]                                    # [H_max]
-        return jnp.concatenate([x_own, halo, jnp.zeros(1, dtype=x_own.dtype)])
-
-    def _assemble_own(self, y_loc, tables):
-        """local contributions [N_max+1+H_max+1] -> assembled own [N_max+1].
-
-        The trash lane (N_max) is zeroed on return so padded scatter targets
-        never leak into CG dot products."""
-        led, G, oip, oil, hp = tables
-        y_own = y_loc[: self.N_max + 1]
-        y_halo = y_loc[self.N_max + 1: self.N_max + 1 + self.H_max]
-        buf = jnp.zeros(self.NS + 1, dtype=y_loc.dtype)
-        buf = buf.at[hp].add(y_halo)
-        buf = self._psum(buf)
-        return y_own.at[oil].add(buf[oip]).at[self.N_max].set(0.0)
-
-    def _apply_own(self, x_own, tables):
-        """Sharded PA apply on owned lanes: A x (no BC)."""
-        from .operators import _apply_G6
-        led, G, oip, oil, hp = tables
-        x_loc = self._gather_loc(x_own, tables)
-        u = x_loc[led]                                    # [E_max, L]
-        Q = self.Jr.shape[1]
-        Jr2 = self.Jr.reshape(3 * Q, -1)
-        g = jnp.einsum("gl,el->eg", Jr2, u).reshape(-1, 3, Q)
-        h = _apply_G6(G, g[:, 0], g[:, 1], g[:, 2])
-        ye = jnp.einsum("gl,eg->el", Jr2, h.reshape(h.shape[0], -1))
-        y_loc = jnp.zeros(self.N_max + 1 + self.H_max + 1, dtype=x_own.dtype
-                          ).at[led].add(ye)
-        return self._assemble_own(y_loc, tables)
-
-    def _zderiv_own(self, phi_own, tables, Jinv_z, inv_mult):
-        led, G, oip, oil, hp = tables
+    # ---------------------------------------------------------- device rhs
+    def _zderiv_own(self, tb, jinv_z, phi_own):
+        lv = self.fine
         p1 = self.p1
-        x_loc = self._gather_loc(phi_own, tables)
-        u = x_loc[led].reshape(-1, p1, p1, p1)
+        u = lv.gather_loc(tb, phi_own)[tb["led"]].reshape(-1, p1, p1, p1)
         Bn = jnp.eye(p1, dtype=phi_own.dtype)
         Dn = self.Dn
+        ne = u.shape[0]
 
         def t3(v, Az, Ay, Ax):
             return jnp.einsum("cz,by,ax,ezyx->ecba", Az, Ay, Ax, v)
 
-        ne = u.shape[0]
         gx = t3(u, Bn, Bn, Dn).reshape(ne, p1 ** 3)
         gy = t3(u, Bn, Dn, Bn).reshape(ne, p1 ** 3)
         gz = t3(u, Dn, Bn, Bn).reshape(ne, p1 ** 3)
         ghat = jnp.stack([gx, gy, gz], axis=-1)
-        w_e = jnp.einsum("eli,eli->el", Jinv_z, ghat)
-        w_loc = jnp.zeros(self.N_max + 1 + self.H_max + 1, dtype=phi_own.dtype
-                          ).at[led].add(w_e)
-        w_own = self._assemble_own(w_loc, tables)
-        return w_own * inv_mult
+        w_e = jnp.einsum("eli,eli->el", jinv_z, ghat)
+        return lv.assemble_E(tb, w_e) * tb["invm"]
 
     def _make_spmd_rhs(self):
-        """Build the per-device RHS closure f(t, y_rep, phi_own) -> (dy, phi)."""
         prob = self.prob
         fso = prob.fso
         NSurf = self.NSurf
         g_const = fso.g
         relax = fso.relax
         rtol_sq, max_iter = fso.cg_rtol_sq, fso.cg_max_iter
+        lv = self.fine
+        pmg = self.pmg
 
-        def rhs(t, y, phi_own, tables, ess_mask, inv_diag, inv_mult, surf_pos,
-                surf_loc, Jinv_z):
+        def rhs(t, y, phi_own, tb, pmg_tbs, jinv_z, surf_pos, surf_loc):
             eta, phi_fs = y[:NSurf], y[NSurf:]
-            free = 1.0 - ess_mask
+            free = 1.0 - tb["ess"]
 
-            # Dirichlet values scattered to owned lanes (surface -> volume)
             pfs_pad = jnp.concatenate([phi_fs, jnp.zeros(1, dtype=phi_fs.dtype)])
             x_bc = jnp.zeros(self.N_max + 1, dtype=phi_fs.dtype
                              ).at[surf_loc].set(pfs_pad[surf_pos])
 
-            def apply_c(v):
-                y_ = self._apply_own(v * free, tables)
-                return y_ * free + v * ess_mask
-
-            B = -self._apply_own(x_bc, tables) * free + x_bc
+            B = -lv.apply_own(tb, x_bc) * free + x_bc
             x0 = phi_own * free + x_bc
 
-            def pdot(a, b):
-                return self._psum(jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST))
+            if pmg is not None:
+                precond = lambda r: pmg.vcycle(pmg_tbs, r)
+            else:
+                precond = lambda r: r * tb["invd"]
 
-            res = pcg(apply_c, B, x0,
-                      precond_fn=lambda r: r * inv_diag,
-                      rtol_sq=rtol_sq, max_iter=max_iter, dot_fn=pdot)
+            res = pcg(lambda v: lv.apply_c(tb, v), B, x0,
+                      precond_fn=precond,
+                      rtol_sq=rtol_sq, max_iter=max_iter, dot_fn=lv.pdot)
             phi_new = res.x
 
-            w_own = self._zderiv_own(phi_new, tables, Jinv_z, inv_mult)
+            w_own = self._zderiv_own(tb, jinv_z, phi_new)
             sbuf = jnp.zeros(NSurf + 1, dtype=phi_fs.dtype
                              ).at[surf_pos].set(w_own[surf_loc])
-            sbuf = self._psum(sbuf)
+            sbuf = lv._psum(sbuf)
             w_tilde = sbuf[:NSurf]
 
             deta = w_tilde
@@ -382,7 +511,7 @@ class ShardedProblem:
 
     # ------------------------------------------------------------------ API
     def run(self, n_steps: int | None = None, t0: float = 0.0, state=None):
-        """Full sharded RK4 run. Returns (t, y_replicated, phi_global).
+        """Full sharded RK4 run. Returns (t, y_replicated, phi_stacked).
 
         Compiled programs are cached per (n_steps, t0)."""
         prob = self.prob
@@ -392,48 +521,44 @@ class ShardedProblem:
             y0, phi0_g = prob.initial_state(t0)
         else:
             y0, phi0_g = state
-        phi0 = jnp.asarray(self.pt.stack_dof(np.asarray(phi0_g)), dtype=self.dtype)
+        phi0 = jnp.asarray(self.pt.stack_dof(np.asarray(phi0_g)),
+                           dtype=self.dtype)
         if not hasattr(self, "_compiled"):
             self._compiled = {}
         key = (n_steps, float(t0))
         if key in self._compiled:
-            t, y, phi = self._compiled[key](y0, phi0)
-            return t, y, phi
+            return self._compiled[key](y0, phi0)
+
         rhs = self._make_spmd_rhs()
         dt = prob.dt
+        pmg_tables = self.pmg.all_tables() if self.pmg is not None else []
 
-        def device_fn(y0, phi0, led, G, oip, oil, hp, ess_mask, inv_diag,
-                      inv_mult, surf_pos, surf_loc, Jinv_z):
-            # shard_map keeps rank: sharded inputs arrive as [1, ...]
-            (phi0, led, G, oip, oil, hp, ess_mask, inv_diag, inv_mult,
-             surf_pos, surf_loc, Jinv_z) = (
-                a[0] for a in (phi0, led, G, oip, oil, hp, ess_mask, inv_diag,
-                               inv_mult, surf_pos, surf_loc, Jinv_z))
-            tables = (led, G, oip, oil, hp)
+        def device_fn(y0, phi0, tb, pmg_tbs, jinv_z, surf_pos, surf_loc):
+            # shard_map keeps rank: drop the leading size-1 device axis
+            (phi0, jinv_z, surf_pos, surf_loc) = (
+                a[0] for a in (phi0, jinv_z, surf_pos, surf_loc))
+            tb = {k: v[0] for k, v in tb.items()}
+            pmg_tbs = [{k: v[0] for k, v in t.items()} for t in pmg_tbs]
 
             def f(t, y, phi_own):
-                return rhs(t, y, phi_own, tables, ess_mask, inv_diag, inv_mult,
-                           surf_pos, surf_loc, Jinv_z)
+                return rhs(t, y, phi_own, tb, pmg_tbs, jinv_z, surf_pos,
+                           surf_loc)
 
             (t, y, phi), _ = rk4_run(f, y0, phi0, t0, dt, n_steps)
             return t, y, phi[None]
 
-        sharded = P("shard")
-        rep = P()
+        sh, rep = P("shard"), P()
         fn = jax.shard_map(
             device_fn, mesh=self.mesh,
-            in_specs=(rep, sharded, sharded, sharded, sharded, sharded, sharded,
-                      sharded, sharded, sharded, sharded, sharded, sharded),
-            out_specs=(rep, rep, sharded),
+            in_specs=(rep, sh, sh, sh, sh, sh, sh),
+            out_specs=(rep, rep, sh),
             check_vma=False,
         )
         fn = jax.jit(fn)
 
         def call(y0, phi0):
-            return fn(y0, phi0, self.led, self.G, self.own_if_pos,
-                      self.own_if_loc, self.halo_pos, self.ess_mask,
-                      self.inv_diag, self.inv_mult, self.surf_pos,
-                      self.surf_loc, self.Jinv_z)
+            return fn(y0, phi0, self.fine.tables, pmg_tables, self.Jinv_z,
+                      self.surf_pos, self.surf_loc)
 
         self._compiled[key] = call
         return call(y0, phi0)
