@@ -25,6 +25,13 @@ import os
 
 import jax
 
+# Backend selection. NOTE: in this environment the JAX_PLATFORMS env var is
+# overridden by the axon TPU plugin; only jax.config reliably wins. Set
+# LPFEM_PLATFORM=cpu (or tpu) to pin the backend for library entry points.
+_plat = os.environ.get("LPFEM_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
 # MFEM runs double precision throughout; CG tolerances down to 1e-24 (on the
 # squared residual) require f64 scalars. Opt out with LPFEM_X64=0 (the TPU
 # benchmark path uses explicit f32 arrays either way).

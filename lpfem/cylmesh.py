@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .mesh import Mesh
+from .mesh import HEX_VERTS, Mesh
 
 __all__ = ["make_half_cylinder_tank"]
 
@@ -43,7 +43,8 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
                             h: float = 1.0 / (2 * np.pi),
                             cx: float = 4.0, a: float = 0.5,
                             n_theta: int = 24, n_r: int = 12, nz: int = 2,
-                            grading: float = 1.25) -> Mesh:
+                            grading: float = 1.25,
+                            geom_order: int | None = None) -> Mesh:
     """Polar-block half-cylinder tank.
 
     Domain: [0,Lx] x [0,Ly] x [0,h] minus the half-disk of radius ``a``
@@ -51,7 +52,21 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
     radial layers toward the cylinder.
     """
     c = np.array([cx, 0.0])
-    thetas = np.linspace(0.0, np.pi, n_theta + 1)
+    # theta grid with the rectangle's upper-corner angles as exact grid
+    # points: otherwise the outer ring's straight chords cut the corners
+    # (0.9% volume deficit) and the ray-length kinks fall inside elements.
+    th_c1 = np.arctan2(Ly, Lx - cx)
+    th_c2 = np.arctan2(Ly, -cx)
+    arcs = [(0.0, th_c1), (th_c1, th_c2), (th_c2, np.pi)]
+    lens = np.array([b - a_ for a_, b in arcs])
+    counts = np.maximum(1, np.round(n_theta * lens / np.pi).astype(int))
+    while counts.sum() > n_theta:
+        counts[np.argmax(counts)] -= 1
+    while counts.sum() < n_theta:
+        counts[np.argmin(counts / np.maximum(lens, 1e-9))] += 1
+    pieces = [np.linspace(a_, b, k, endpoint=False)
+              for (a_, b), k in zip(arcs, counts)]
+    thetas = np.concatenate(pieces + [[np.pi]])
     # radial fractions with geometric grading (fine near the cylinder)
     w = grading ** np.arange(n_r)
     frac = np.concatenate([[0.0], np.cumsum(w)]) / np.sum(w)
@@ -108,9 +123,6 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
 
     # boundary quads: top z=h -> 2, cylinder r=a -> 3, rest -> 1
     bq, ba = [], []
-    for i in range(n_theta):
-        for j in range(n_r):
-            pass
     # top/bottom faces per 2D quad
     for i in range(n_theta):
         for j in range(n_r):
@@ -141,6 +153,66 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
                        vid(n_theta, j + 1, k + 1), vid(n_theta, j, k + 1)])
             ba.append(1)
 
-    return Mesh(verts=verts, elems=elems, corner_coords=verts[elems],
+    mesh = Mesh(verts=verts, elems=elems, corner_coords=verts[elems],
                 bdr_quads=np.asarray(bq, dtype=np.int64),
                 bdr_attrs=np.asarray(ba, dtype=np.int64))
+    if geom_order:
+        set_cylinder_geometry(mesh, geom_order, Lx=Lx, Ly=Ly, cx=cx, a=a)
+    return mesh
+
+
+def set_cylinder_geometry(mesh: Mesh, pg: int, Lx: float, Ly: float,
+                          cx: float, a: float) -> None:
+    """Attach exact curved (isoparametric) geometry of order ``pg``.
+
+    The MFEM ``SetCurvature(order)`` analogue (``cylinder-diffraction.cpp:264``)
+    — but *better than the reference*: MFEM's SetCurvature on a linear Gmsh
+    mesh merely re-interpolates the faceted geometry, while here each
+    element's nodes are placed by the exact polar blend
+    ``x(theta, f) = c + (a + f (t_out(theta) - a)) d(theta)``, so the
+    cylinder rim is exactly circular at any order.
+    """
+    from .elements import basis_1d
+
+    gll = basis_1d(pg).nodes
+    pg1 = pg + 1
+    c = np.array([cx, 0.0])
+    cc = mesh.corner_coords                       # [ne, 8, 3]
+    ne = cc.shape[0]
+
+    # corner parameters (theta, f, z)
+    dx = cc[..., 0] - cx
+    dy = cc[..., 1]
+    theta_c = np.arctan2(dy, dx)                  # [ne, 8] in [0, pi]
+    theta_c = np.where(theta_c < 0, 0.0, theta_c)
+    r_c = np.hypot(dx, dy)
+    tout_c = np.array([[_ray_boundary_hit(c, np.array([np.cos(t), np.sin(t)]),
+                                          Lx, Ly) for t in row]
+                       for row in theta_c])
+    f_c = (r_c - a) / np.maximum(tout_c - a, 1e-30)
+    z_c = cc[..., 2]
+
+    # trilinear weights at the pg-lattice (HEX_VERTS corner order)
+    W = np.zeros((pg1 ** 3, 8))
+    for iz in range(pg1):
+        for iy in range(pg1):
+            for ix in range(pg1):
+                n = ix + pg1 * (iy + pg1 * iz)
+                u, v, w = gll[ix], gll[iy], gll[iz]
+                for vi, (ax_, ay_, az_) in enumerate(HEX_VERTS):
+                    W[n, vi] = ((u if ax_ else 1 - u) * (v if ay_ else 1 - v)
+                                * (w if az_ else 1 - w))
+
+    th = np.einsum("lk,ek->el", W, theta_c)        # [ne, L]
+    f = np.einsum("lk,ek->el", W, f_c)
+    z = np.einsum("lk,ek->el", W, z_c)
+    tout = np.vectorize(
+        lambda t: _ray_boundary_hit(c, np.array([np.cos(t), np.sin(t)]),
+                                    Lx, Ly))(th)
+    r = a + f * (tout - a)
+    # The exact polar map: valid everywhere because the theta grid places
+    # the rectangle-corner angles (the kinks of t_out) on element
+    # boundaries, so within each element the map is smooth.
+    mesh.geom_nodes = np.stack([cx + r * np.cos(th), r * np.sin(th), z],
+                               axis=-1)
+    mesh.geom_order = pg

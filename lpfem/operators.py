@@ -47,22 +47,36 @@ def _geom_basis(q: int):
     return b.B, b.D
 
 
+def _geometry_lattice(space: H1Space):
+    """(nodes [ne, (pg+1)^3, 3] in lattice-lex order, pg): the isoparametric
+    geometry representation — per-element high-order nodes when the mesh is
+    curved (MFEM ``SetCurvature``, ``Solvers/cylinder-diffraction.cpp:264``),
+    else the trilinear corner lattice."""
+    mesh = space.mesh
+    if mesh.geom_nodes is not None:
+        return mesh.geom_nodes, mesh.geom_order
+    return mesh.corner_coords[:, _LEX_OF_VERT, :], 1
+
+
 def geometric_factors(space: H1Space, q: int | None = None, dtype=jnp.float64):
     """Precompute PA geometric data.
 
-    Returns (G [ne, Q, 3, 3], wdetJ [ne, Q], xq [ne, Q, 3]) with
+    Returns (G [ne, Q, 6], wdetJ [ne, Q], xq [ne, Q, 3]) with
     Q = q^3 quadrature points per element flattened C-order over (qz, qy, qx).
-    Host NumPy in float64, cast to ``dtype`` on return.
+    Host NumPy in float64, cast to ``dtype`` on return. Supports curved
+    (isoparametric) geometry via ``mesh.geom_nodes``.
     """
     p = space.p
     if q is None:
         q = p + 1
     b = basis_1d(p, q)
-    B1, D1 = _geom_basis(q)
     qw = b.qwts
 
-    # corners in lattice-lex order -> [ne, 2(z), 2(y), 2(x), 3]
-    cc = space.mesh.corner_coords[:, _LEX_OF_VERT, :].reshape(-1, 2, 2, 2, 3)
+    gnodes, pg = _geometry_lattice(space)
+    bg = basis_1d(pg, q)
+    B1, D1 = bg.B, bg.D
+    pg1 = pg + 1
+    cc = gnodes.reshape(-1, pg1, pg1, pg1, 3)   # [ne, z, y, x, 3]
 
     def t3(u, Az, Ay, Ax):
         return np.einsum("cz,by,ax,ezyxd->ecbad", Az, Ay, Ax, u, optimize=True)
@@ -90,8 +104,8 @@ def geometric_factors(space: H1Space, q: int | None = None, dtype=jnp.float64):
                   Gfull[..., 1, 1], Gfull[..., 1, 2], Gfull[..., 2, 2]], axis=-1)
 
     # physical quad-point coords (for analytic errors)
-    B3 = np.einsum("cz,by,ax->cbazyx", B1, B1, B1).reshape(q ** 3, 8)
-    xq = np.einsum("qk,ekd->eqd", B3, space.mesh.corner_coords[:, _LEX_OF_VERT, :])
+    B3 = np.einsum("cz,by,ax->cbazyx", B1, B1, B1).reshape(q ** 3, pg1 ** 3)
+    xq = np.einsum("qk,ekd->eqd", B3, gnodes)
 
     return (jnp.asarray(G, dtype=dtype), jnp.asarray(wdetJ, dtype=dtype),
             jnp.asarray(xq, dtype=dtype))
@@ -379,9 +393,12 @@ class NodalZDerivative:
         self.Dn = jnp.asarray(b.Dn, dtype=op.dtype)
         self.Bn = jnp.asarray(np.eye(p1), dtype=op.dtype)
 
-        # Jacobian at the element nodes from trilinear geometry (host)
-        B1n, D1n = _nodal_geom_basis(p)
-        cc = space.mesh.corner_coords[:, _LEX_OF_VERT, :].reshape(-1, 2, 2, 2, 3)
+        # Jacobian at the element nodes from the (possibly curved) geometry
+        from .elements import lagrange_eval
+        gnodes, pg = _geometry_lattice(space)
+        B1n, D1n = lagrange_eval(basis_1d(pg).nodes, b.nodes)
+        pg1 = pg + 1
+        cc = gnodes.reshape(-1, pg1, pg1, pg1, 3)
 
         def t3g(u, Az, Ay, Ax):
             return np.einsum("cz,by,ax,ezyxd->ecbad", Az, Ay, Ax, u, optimize=True)

@@ -326,7 +326,15 @@ class H1Space:
     # ------------------------------------------------------------- geometry
     @cached_property
     def elem_node_coords(self) -> np.ndarray:
-        """[ne, (p+1)^3, 3] physical coordinates of every element lattice node."""
+        """[ne, (p+1)^3, 3] physical coordinates of every element lattice node
+        (curved geometry honored when ``mesh.geom_nodes`` is set)."""
+        if self.mesh.geom_nodes is not None:
+            from .elements import basis_1d, lagrange_eval
+            pg = self.mesh.geom_order
+            Bg, _ = lagrange_eval(basis_1d(pg).nodes, basis_1d(self.p).nodes)
+            B3 = np.einsum("cz,by,ax->cbazyx", Bg, Bg, Bg).reshape(
+                (self.p + 1) ** 3, (pg + 1) ** 3)
+            return np.einsum("lk,ekd->eld", B3, self.mesh.geom_nodes)
         W = _geom_weights(self.p)
         return np.einsum("lk,ekd->eld", W, self.mesh.corner_coords)
 

@@ -34,16 +34,32 @@ def test_half_cylinder_mesh_valid():
     m = make_half_cylinder_tank(n_theta=12, n_r=6, nz=2)
     sp = H1Space(m, 2)
     op = LaplacePA(sp)  # raises on inverted elements
-    # volume below the analytic (faceted cylinder) but close
     import jax.numpy as jnp
     vol = float(jnp.sum(op.wdetJ))
     exact = 12 * 6 * (1 / (2 * np.pi)) - 0.5 * np.pi * 0.25 * (1 / (2 * np.pi))
-    assert 0.97 * exact < vol < exact
+    # faceted cylinder: slightly larger hole boundary chords -> small excess
+    assert abs(vol - exact) / exact < 2e-3
     # attrs: free surface and cylinder wall exist
     surf = SurfaceSpace(sp, attr=2)
     cyl = SurfaceSpace(sp, attr=3)
     r = np.hypot(cyl.node_coords[:, 0] - 4.0, cyl.node_coords[:, 1])
-    assert np.all(np.abs(r - 0.5) < 6e-3)
+    assert np.all(np.abs(r - 0.5) < 8e-3)
+
+
+def test_half_cylinder_curved_geometry():
+    """Isoparametric curvature (SetCurvature parity, better than the
+    reference's faceted re-interpolation): exact rim circle + exact volume."""
+    from lpfem.operators import LaplacePA
+    import jax.numpy as jnp
+    m = make_half_cylinder_tank(n_theta=12, n_r=6, nz=2, geom_order=3)
+    sp = H1Space(m, 3)
+    op = LaplacePA(sp)
+    vol = float(jnp.sum(op.wdetJ))
+    exact = 12 * 6 * (1 / (2 * np.pi)) - 0.5 * np.pi * 0.25 * (1 / (2 * np.pi))
+    assert abs(vol - exact) / exact < 1e-9
+    cyl = SurfaceSpace(sp, attr=3)
+    r = np.hypot(cyl.node_coords[:, 0] - 4.0, cyl.node_coords[:, 1])
+    assert np.max(np.abs(r - 0.5)) < 1e-12
 
 
 def test_mccamy_fuchs_known_values():
