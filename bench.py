@@ -25,7 +25,7 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--order", type=int, default=4)
-    ap.add_argument("--refs", type=int, default=1)
+    ap.add_argument("--refs", type=int, default=2)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--nx", type=int, default=32)
@@ -47,24 +47,17 @@ def main() -> None:
     n_dofs = prob.space.n_dofs
     y0, phi0 = prob.initial_state()
 
-    import jax.numpy as jnp
-    from lpfem.timestep import rk4_run
-
-    def run_n(n):
-        def go(y, phi):
-            return rk4_run(prob.fso, y, phi, 0.0, prob.dt, n)
-        return jax.jit(go, static_argnames=()).lower(y0, phi0).compile()
-
-    # warm-up (excluded, like ss.cpp:254)
-    warm = run_n(1)
-    (t, y, phi), _ = warm(y0, phi0)
+    # warm-up (excluded, like ss.cpp:254); compiles via the cached,
+    # params-threaded path (big buffers as jit arguments)
+    (t, y, phi), _ = prob.run(n_steps=1, state=(y0, phi0))
+    jax.block_until_ready(y)
+    (t, y, phi), _ = prob.run(n_steps=args.steps, state=(y0, phi0))
     jax.block_until_ready(y)
 
-    bench = run_n(args.steps)
     walls = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        (t, y, phi), _ = bench(y0, phi0)
+        (t, y, phi), _ = prob.run(n_steps=args.steps, state=(y0, phi0))
         jax.block_until_ready(y)
         walls.append(time.perf_counter() - t0)
     import statistics

@@ -31,21 +31,30 @@ __all__ = ["ChebyshevSmoother", "PMultigrid", "estimate_lmax"]
 
 
 def estimate_lmax(apply_fn, inv_diag, n: int, iters: int = 20,
-                  dtype=jnp.float64, safety: float = 1.1) -> float:
+                  dtype=jnp.float64, safety: float = 1.1,
+                  params=None) -> float:
     """Power-iteration estimate of lambda_max(D^-1 A) (MFEM's
-    ``OperatorChebyshevSmoother`` does the same with 10 power iterations)."""
+    ``OperatorChebyshevSmoother`` does the same with 10 power iterations).
+
+    ``params`` (a :class:`lpfem.params.BigParams`) threads the operator's
+    large buffers as jit arguments instead of HLO constants."""
     key = jax.random.PRNGKey(0)
     v = jax.random.normal(key, (n,), dtype=dtype)
 
-    @jax.jit
-    def it(v):
-        w = inv_diag * apply_fn(v)
+    def it(v, invd):
+        w = invd * apply_fn(v)
         lam = jnp.linalg.norm(w)
         return w / lam, lam
 
+    if params is not None:
+        from .params import jit_with_params
+        itj = jit_with_params(it, params)
+    else:
+        itj = jax.jit(it)
+
     lam = 1.0
     for _ in range(iters):
-        v, lam = it(v)
+        v, lam = itj(v, inv_diag)
     return float(lam) * safety
 
 
@@ -110,6 +119,10 @@ class _Level:
         y = self.op.apply(x * self.free)
         return y * self.free + x * (1.0 - self.free)
 
+    def register_params(self, bp) -> None:
+        self.op.register_params(bp)
+        bp.register(self, "free", "inv_diag", "inv_mult")
+
 
 class PMultigrid:
     """V-cycle p-multigrid preconditioner for the essential-dof-constrained
@@ -159,11 +172,15 @@ class PMultigrid:
                 (pf + 1) ** 3, (pc + 1) ** 3)
             self.I3.append(jnp.asarray(I3, dtype=fine_op.dtype))
 
-        # smoothers (need lmax of D^-1 A_c per level)
+        # smoothers (need lmax of D^-1 A_c per level); thread each level's
+        # big buffers as jit arguments (lpfem.params)
+        from .params import BigParams
         self.smoothers = []
         for lv in self.levels:
+            bp = BigParams()
+            lv.register_params(bp)
             lmax = estimate_lmax(lv.apply_c, lv.inv_diag, lv.op.n_dofs,
-                                 dtype=fine_op.dtype)
+                                 dtype=fine_op.dtype, params=bp)
             self.smoothers.append(ChebyshevSmoother(
                 lv.apply_c, lv.inv_diag, lmax, degree=smooth_degree))
 
@@ -180,7 +197,10 @@ class PMultigrid:
             self._coarse_inv = jnp.asarray(np.linalg.inv(A), dtype=fine_op.dtype)
             self.coarse_solve = lambda r: self._coarse_inv @ r
         else:
-            lmax = estimate_lmax(cl.apply_c, cl.inv_diag, nC, dtype=fine_op.dtype)
+            bp = BigParams()
+            cl.register_params(bp)
+            lmax = estimate_lmax(cl.apply_c, cl.inv_diag, nC,
+                                 dtype=fine_op.dtype, params=bp)
             cheb = ChebyshevSmoother(cl.apply_c, cl.inv_diag, lmax,
                                      degree=coarse_cheb_degree)
             self.coarse_solve = lambda r: cheb(r)
@@ -217,3 +237,10 @@ class PMultigrid:
 
     def __call__(self, r):
         return self._vcycle(0, r)
+
+    def register_params(self, bp) -> None:
+        for lv in self.levels:
+            lv.register_params(bp)
+        for sm in self.smoothers:
+            bp.register(sm, "inv_diag")
+        bp.register(self, "_coarse_inv")

@@ -240,6 +240,11 @@ class LaplacePA:
             else:
                 self.mode = "fused"
 
+    def register_params(self, bp) -> None:
+        """Register large device buffers as jit arguments (see
+        :mod:`lpfem.params`; avoids embedding them as HLO constants)."""
+        bp.register(self, "G", "elem_dofs", "G6q", "wdetJ", "xq", "diag")
+
     # ------------------------------------------------------------------ apply
     def gather_E(self, x: jax.Array) -> jax.Array:
         """E-vector gather [n_dofs] -> [ne, L] (structured fast path when
@@ -410,6 +415,10 @@ class NodalZDerivative:
         # only the z-column is needed: grad_z = sum_i Jinv[i, 2] * ghat_i
         self.Jinv_z = jnp.asarray(Jinv[..., 2], dtype=op.dtype)   # [ne, L, 3]
         self.inv_mult = jnp.asarray(1.0 / space.node_mult, dtype=op.dtype)
+
+    def register_params(self, bp) -> None:
+        bp.register(self, "Jinv_z", "inv_mult")
+        self.op.register_params(bp)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         op = self.op

@@ -116,6 +116,13 @@ class Problem:
             cg_rtol_sq=cfg.cg_rtol_sq, cg_max_iter=cfg.cg_max_iter,
             precond_fn=precond_fn)
 
+        # big-buffer registry: jit entry points thread these as arguments
+        # instead of HLO constants (lpfem.params; required at 10M+ dofs)
+        from .params import BigParams
+        self.params = BigParams()
+        self.fso.register_params(self.params)
+        self._compiled = {}
+
     # ----------------------------------------------------------- initial data
     def initial_state(self, t: float = 0.0):
         """(y0, phi0): surface state [eta; phi_fs] + volume potential carry,
@@ -147,17 +154,30 @@ class Problem:
 
     def run(self, n_steps: int | None = None, t0: float = 0.0,
             state=None, record=None, jit: bool = True):
-        """Run the RK4 loop (one fused lax.scan). Returns ((t, y, phi), recs)."""
+        """Run the RK4 loop (one fused lax.scan). Returns ((t, y, phi), recs).
+
+        Compiled programs are cached per (n_steps, record); ``t0`` is a
+        traced argument so resumed runs reuse the same executable. Big
+        buffers travel as jit arguments (``self.params``)."""
         if n_steps is None:
             n_steps = self.cfg.nsteps
         y0, phi0 = state if state is not None else self.initial_state(t0)
+        t0 = jnp.asarray(t0, dtype=self.dtype)
 
-        def go(y0, phi0):
-            return rk4_run(self.fso, y0, phi0, t0, self.dt, n_steps, record=record)
+        if not jit:
+            return rk4_run(self.fso, y0, phi0, t0, self.dt, n_steps,
+                           record=record)
 
-        if jit:
-            go = jax.jit(go)
-        return go(y0, phi0)
+        key = (n_steps, id(record) if record is not None else None)
+        if key not in self._compiled:
+            from .params import jit_with_params
+
+            def go(t0_, y0_, phi0_):
+                return rk4_run(self.fso, y0_, phi0_, t0_, self.dt, n_steps,
+                               record=record)
+
+            self._compiled[key] = jit_with_params(go, self.params)
+        return self._compiled[key](t0, y0, phi0)
 
     # ----------------------------------------------------------------- errors
     def eta_error_inf(self, y, t) -> float:

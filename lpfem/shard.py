@@ -192,7 +192,9 @@ class ShardedLevel:
         self.op = op
         self.pt = pt
         self.axis = axis
-        self.N_max, self.H_max, self.NS = pt.N_max, pt.H_max, pt.NS
+        # pad the halo segment to >=1 so zero-halo (single-shard) partitions
+        # keep static shapes consistent with the [ndev, max(H_max,1)] tables
+        self.N_max, self.H_max, self.NS = pt.N_max, max(pt.H_max, 1), pt.NS
         self.Q = op.q ** 3
         self.Jr2 = op.Jr.reshape(3 * self.Q, -1)
         dtype = op.dtype

@@ -137,6 +137,16 @@ class FreeSurfaceOperator:
         self._precond = precond_fn if precond_fn is not None \
             else (lambda r: r * self._inv_diag)
 
+    def register_params(self, bp) -> None:
+        """Thread large buffers as jit arguments (lpfem.params)."""
+        self.op.register_params(bp)
+        self.zderiv.register_params(bp)
+        bp.register(self, "_inv_diag", "ess")
+        if self.relax is not None:
+            bp.register(self.relax, "cgen", "cabs", "cos_kx", "sin_kx")
+        if hasattr(self._precond, "register_params"):
+            self._precond.register_params(bp)
+
     # ------------------------------------------------------------- laplace
     def solve_laplace(self, phi_fs: jax.Array, phi_warm: jax.Array):
         """Dirichlet Laplace solve: phi = phi_fs on the free surface,
