@@ -47,12 +47,19 @@ def main():
     ap.add_argument("--rim-tol", type=float, default=5e-3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--rtol-sq", type=float, default=None,
+                    help="CG tolerance on r.z; default 1e-24 (f64) / 1e-10 (f32)")
     ap.add_argument("--out", default="data/cylinder-diffraction.txt")
     ap.add_argument("--out-exact", default="data/cylinder_boundary.txt")
     args = ap.parse_args()
     if args.quick:
         args.order, args.nsteps, args.periods = 2, 60, 3.0
         args.n_theta, args.n_r = 12, 6
+    if args.rtol_sq is None:
+        args.rtol_sq = 1e-24 if args.dtype == "float64" else 1e-10
+    # absolute residual floor: the envelope physics needs ||r|| ~ 1e-8 of the
+    # O(1e-2) BC scale; without it warm-started stages chase 2000 iterations
+    atol_sq = 0.0 if args.dtype == "float64" else 1e-20
 
     import jax
     import jax.numpy as jnp
@@ -71,12 +78,14 @@ def main():
     else:
         mesh = make_half_cylinder_tank(Lx=12.0, Ly=6.0, h=h, cx=args.cx,
                                        a=args.radius, n_theta=args.n_theta,
-                                       n_r=args.n_r, nz=args.nz)
+                                       n_r=args.n_r, nz=args.nz,
+                                       geom_order=args.order)
 
     cfg = Config(name="cylinder_diffraction", order=args.order, H=args.H,
                  wave_by="wavelength", wave_lambda=1.0, kh_override=1.0,
                  nsteps=args.nsteps, t_final_periods=args.periods,
-                 cg_rtol_sq=1e-24, cg_max_iter=2000, dtype=args.dtype,
+                 cg_rtol_sq=args.rtol_sq, cg_atol_sq=atol_sq,
+                 cg_max_iter=600, dtype=args.dtype,
                  precond=args.precond, cheb_degree=args.cheb_degree)
     prob = Problem(cfg, mesh=mesh)
     wave = prob.wave
@@ -100,14 +109,30 @@ def main():
     ns = prob.surf.n_dofs
     record = lambda t, y, aux: (t, y[:ns])
 
-    t0 = time.perf_counter()
-    (t, y, phi), (ts, etas) = prob.run(record=record)
-    jax.block_until_ready(etas)
-    print(f"run: {time.perf_counter() - t0:.1f}s  t_final={float(t):.3f}")
+    # Chunked execution: one multi-minute XLA program trips the device
+    # watchdog; ~50-step chunks keep each dispatch short and give progress.
+    chunk = 50
+    t0_wall = time.perf_counter()
+    t, y, phi = 0.0, y0, phi0
+    ts_all, etas_all = [], []
+    done = 0
+    while done < args.nsteps:
+        n = min(chunk, args.nsteps - done)
+        (t, y, phi), (ts, etas) = prob.run(n_steps=n, t0=t, state=(y, phi),
+                                           record=record)
+        jax.block_until_ready(etas)
+        t = float(t)
+        done += n
+        ts_all.append(np.asarray(ts))
+        etas_all.append(np.asarray(etas))
+        print(f"step {done}/{args.nsteps} t={t:.3f} "
+              f"max|eta|={float(np.max(np.abs(etas_all[-1]))):.4f} "
+              f"[{time.perf_counter() - t0_wall:.0f}s]")
+    print(f"run: {time.perf_counter() - t0_wall:.1f}s  t_final={t:.3f}")
 
     # envelope: nodal max over the last period (cylinder-diffraction.cpp:415-429)
-    ts = np.asarray(ts)
-    etas = np.asarray(etas)
+    ts = np.concatenate(ts_all)
+    etas = np.concatenate(etas_all)
     t_last_start = float(t) - wave.T
     sel = ts >= t_last_start - 1e-12
     env = np.max(etas[sel], axis=0) * (2.0 / args.H)

@@ -33,7 +33,7 @@ def run_case(mesh, order, wave, rtol_sq, max_iter, precond="pmg"):
     sp = H1Space(mesh, order)
     op = LaplacePA(sp)
     surf = SurfaceSpace(sp, attr=2)
-    ess = jnp.asarray(surf.surf_to_vol)
+    ess = jnp.asarray(surf.surf_to_vol.astype(np.int32))
     phi_fs = jnp.asarray(surf.project(lambda x, y, z: wave.phi(x, y, z)))
     B, x0 = op.constrained_rhs(jnp.zeros(sp.n_dofs), ess, phi_fs)
 

@@ -57,8 +57,11 @@ def main():
     from lpfem.io import DataFile
 
     out = args.out or f"data/{args.mode}-scaling.txt"
+    note = ("virtual-device runs share one host CPU: they validate the SPMD "
+            "protocol and shard-count-invariant physics, not hardware "
+            "speedup; run on a real TPU slice for ICI scaling")
     df = DataFile(out, "mode order par_ref shards dofs median_wall_s "
-                       "runs...")
+                       "runs...  [" + (note if args.virtual_devices else "real devices") + "]")
 
     for order in args.orders:
         for ns in args.shards:

@@ -49,6 +49,9 @@ class Config:
     t_final_periods: float = 1.0
     # ---- linear solver ----
     cg_rtol_sq: float = 1e-24            # on r.z (squared), MFEM convention
+    cg_atol_sq: float = 0.0              # absolute floor on r.z (stops warm-
+                                         # started solves from chasing ever-
+                                         # smaller relative targets)
     cg_max_iter: int = 400
     precond: str = "jacobi"              # jacobi | chebyshev | pmg
     cheb_degree: int = 3                 # smoother degree (chebyshev / pmg)

@@ -219,7 +219,7 @@ class LaplacePA:
         self.dtype = dtype
         self.mode = mode
         self.n_dofs = space.n_dofs
-        self.elem_dofs = jnp.asarray(space.elem_dofs)
+        self.elem_dofs = jnp.asarray(space.elem_dofs.astype(np.int32))
         self.G, self.wdetJ, self.xq = geometric_factors(space, q, dtype)
         b = basis_1d(p, q)
         self.B = jnp.asarray(b.B, dtype=dtype)

@@ -113,8 +113,8 @@ class Problem:
 
         self.fso = FreeSurfaceOperator(
             self.op, self.surf, g=cfg.g, relax=relax,
-            cg_rtol_sq=cfg.cg_rtol_sq, cg_max_iter=cfg.cg_max_iter,
-            precond_fn=precond_fn)
+            cg_rtol_sq=cfg.cg_rtol_sq, cg_atol_sq=cfg.cg_atol_sq,
+            cg_max_iter=cfg.cg_max_iter, precond_fn=precond_fn)
 
         # big-buffer registry: jit entry points thread these as arguments
         # instead of HLO constants (lpfem.params; required at 10M+ dofs)

@@ -347,7 +347,7 @@ class ShardedPMG:
             op = self.levels[li].op
             sp = op.space
             ess = ess_fine if li == 0 else sp.boundary_dofs(2)
-            essj = jnp.asarray(ess)
+            essj = jnp.asarray(np.asarray(ess).astype(np.int32))
             inv_diag = 1.0 / op.diag.at[essj].set(1.0)
             from .multigrid import estimate_lmax as _el
             self.lmax.append(_el(lambda v: op.constrained_apply(v, essj),

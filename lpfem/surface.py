@@ -129,7 +129,7 @@ class FreeSurfaceOperator:
         s2v = surf.surf_to_vol
         if len(np.unique(s2v)) != len(s2v):
             raise AssertionError("surface->volume dof map is not injective")
-        self.ess = jnp.asarray(s2v)
+        self.ess = jnp.asarray(s2v.astype(np.int32))
         self.zderiv = NodalZDerivative(op)
         # Jacobi preconditioner diagonal with identity on essential dofs
         diag_c = op.diag.at[self.ess].set(1.0)
