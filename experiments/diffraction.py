@@ -62,14 +62,12 @@ def main():
     atol_sq = 0.0 if args.dtype == "float64" else 1e-20
 
     import jax
-    import jax.numpy as jnp
-    from lpfem.analytic import AiryWave, mccamy_fuchs_envelope
+    from lpfem.analytic import mccamy_fuchs_envelope
     from lpfem.cylmesh import make_half_cylinder_tank
     from lpfem.mesh import load_gmsh
     from lpfem.configs import Config
     from lpfem.problem import Problem
     from lpfem.surface import RelaxationZones, cabs_weight, cgen_weight
-    from lpfem.timestep import rk4_run
     from lpfem.io import DataFile
 
     h = 1.0 / (2.0 * np.pi)

@@ -23,7 +23,7 @@ import numpy as np
 
 __all__ = ["BigParams", "jit_with_params"]
 
-_THRESHOLD_BYTES = 1 << 20   # register arrays above 1 MiB
+_THRESHOLD_BYTES = 1 << 18   # register arrays above 256 KiB
 
 
 class BigParams:
