@@ -152,6 +152,14 @@ def main():
         open(args.out, "a").write(f"{a_} {v_}\n")
     print(f"extracted {len(th)} rim points -> {args.out}")
 
+    # ParaView envelope snapshot (cylinder-diffraction.cpp:729-743)
+    from lpfem.io import write_vtu_surface
+    import os
+    os.makedirs("ParaView", exist_ok=True)
+    write_vtu_surface("ParaView/cylinder_envelope.vtu", prob.surf,
+                      {"eta_env": env, "eta_final": np.asarray(y[:ns])})
+    print("wrote ParaView/cylinder_envelope.vtu")
+
     # analytic companion (cylinder-exact.cpp)
     ka = wave.k * args.radius
     th_e = np.linspace(0, np.pi, 181)
