@@ -25,7 +25,7 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--order", type=int, default=4)
-    ap.add_argument("--refs", type=int, default=2)
+    ap.add_argument("--refs", type=int, default=1)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--nx", type=int, default=32)
