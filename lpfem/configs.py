@@ -33,7 +33,9 @@ class Config:
     # ---- discretization ----
     order: int = 2
     quad: int | None = None              # default order+1 GL points
-    apply_mode: str = "fused"            # fused | sumfact
+    apply_mode: str = "pallas"           # pallas | fused | sumfact
+                                         # (pallas auto-falls-back to fused
+                                         #  off-TPU or in f64)
     dtype: str = "float64"
     # ---- wave ----
     H: float = 0.005

@@ -68,21 +68,29 @@ def pa_apply_element_kernel(u: jax.Array, G6q: jax.Array, Jr2: jax.Array,
         G6q = jnp.pad(G6q, ((0, pad), (0, 0)))
     npad = u.shape[0]
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, Q=Q),
-        grid=(npad // be,),
-        in_specs=[
-            pl.BlockSpec((be, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((be, 6 * Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * Q, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((be, L), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, L), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * npad * L * 3 * Q + 9 * npad * Q,
-            bytes_accessed=4 * (npad * L * 2 + npad * 6 * Q + 3 * Q * L),
-            transcendentals=0,
-        ),
-    )(u.astype(jnp.float32), G6q.astype(jnp.float32), Jr2.astype(jnp.float32))
+    # Trace the pallas_call with x64 disabled: under jax_enable_x64 the
+    # index-map literals become i64 and Mosaic rejects the mixed
+    # (i32, i64) block-index tuple.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel, Q=Q),
+            grid=(npad // be,),
+            in_specs=[
+                pl.BlockSpec((be, L), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((be, 6 * Q), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * Q, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((be, L), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((npad, L), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * npad * L * 3 * Q + 9 * npad * Q,
+                bytes_accessed=4 * (npad * L * 2 + npad * 6 * Q + 3 * Q * L),
+                transcendentals=0,
+            ),
+        )(u.astype(jnp.float32), G6q.astype(jnp.float32),
+          Jr2.astype(jnp.float32))
     return out[:ne]
