@@ -103,6 +103,74 @@ def _interp_1d(p_coarse: int, p_fine: int) -> np.ndarray:
     return Bc
 
 
+class _Transfer:
+    """Embedded-interpolation transfer between two consecutive levels.
+
+    ``via`` supplies the fine-side gather/assemble and nodal multiplicity.
+    For p-coarsening on one mesh, ``via`` is the fine level itself. For
+    h-coarsening below p=1 on structured meshes, ``via`` is a helper p=2
+    space on the half mesh — on the structured lattice its global dof
+    numbering is IDENTICAL to the fine p=1 space's (midpoints of a uniform
+    refinement are exactly the p=2 GLL nodes), so its fold/unfold realize
+    the fine side of the transfer directly.
+    """
+
+    def __init__(self, I3, via_gather, via_assemble, via_inv_mult):
+        self.I3 = I3
+        self.via_gather = via_gather
+        self.via_assemble = via_assemble
+        self.via_inv_mult = via_inv_mult
+
+    def prolong(self, coarse: "_Level", fine: "_Level", xc):
+        uc = coarse.op.gather_E(xc)
+        uf = jnp.einsum("fc,ec->ef", self.I3, uc)
+        xf = self.via_assemble(uf) * self.via_inv_mult
+        return xf * fine.free
+
+    def restrict(self, coarse: "_Level", fine: "_Level", rf):
+        uf = self.via_gather(rf * self.via_inv_mult)
+        uc = jnp.einsum("fc,ef->ec", self.I3, uf)
+        rc = coarse.op.assemble(uc)
+        return rc * coarse.free
+
+
+def _coarsen_structured_mesh(space: H1Space):
+    """Merge 2x2x2 element blocks of a structured (lattice-ordered) mesh.
+
+    Returns the coarse :class:`~lpfem.mesh.Mesh` (no boundary table — the
+    preconditioner levels derive essential dofs from the lattice), or None
+    if any element dimension is odd.
+    """
+    from .mesh import Mesh, HEX_VERTS
+    st = space.struct
+    nex, ney, nez = st.elem_dims
+    if nex % 2 or ney % 2 or nez % 2:
+        return None
+    mesh = space.mesh
+    elems = mesh.elems.reshape(nez, ney, nex, 8)
+    cc = mesh.corner_coords.reshape(nez, ney, nex, 8, 3)
+    cE = np.zeros((nez // 2, ney // 2, nex // 2, 8), dtype=np.int64)
+    cC = np.zeros((nez // 2, ney // 2, nex // 2, 8, 3))
+    for v, (vx, vy, vz) in enumerate(HEX_VERTS):
+        cE[..., v] = elems[vz::2, vy::2, vx::2, v][: nez // 2, : ney // 2, : nex // 2]
+        cC[..., v, :] = cc[vz::2, vy::2, vx::2, v, :][: nez // 2, : ney // 2, : nex // 2]
+    cE = cE.reshape(-1, 8)
+    used = np.unique(cE)
+    remap = np.full(mesh.n_verts, -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return Mesh(verts=mesh.verts[used], elems=remap[cE],
+                corner_coords=cC.reshape(-1, 8, 3),
+                bdr_quads=np.zeros((0, 4), dtype=np.int64),
+                bdr_attrs=np.zeros(0, dtype=np.int64),
+                periodic=mesh.periodic, periodic_axes=mesh.periodic_axes)
+
+
+def _top_plane_dofs(struct) -> np.ndarray:
+    """Lattice dofs on the z-max plane (the tank free surface, attr 2)."""
+    Dx, Dy, Dz = struct.dof_dims
+    return (Dx * Dy * (Dz - 1) + np.arange(Dx * Dy)).astype(np.int64)
+
+
 class _Level:
     def __init__(self, op: LaplacePA, ess: np.ndarray):
         self.op = op
@@ -136,6 +204,7 @@ class PMultigrid:
     def __init__(self, fine_op: LaplacePA, ess_attr: int = 2,
                  levels: list[int] | None = None, smooth_degree: int = 3,
                  coarse_dense_limit: int = 6000, coarse_cheb_degree: int = 16,
+                 h_coarsen_min_dofs: int = 20000,
                  ess_dofs: np.ndarray | None = None):
         space = fine_op.space
         mesh = space.mesh
@@ -164,13 +233,57 @@ class PMultigrid:
             self.levels.append(_Level(op, ess))
 
         # transfers: per-level-pair embedded interpolation matrices [Lf, Lc]
-        self.I3 = []
-        for li in range(len(levels) - 1):
-            pf, pc = levels[li], levels[li + 1]
+        def _I3(pc, pf):
             I1 = _interp_1d(pc, pf)
             I3 = np.einsum("cz,by,ax->cbazyx", I1, I1, I1).reshape(
                 (pf + 1) ** 3, (pc + 1) ** 3)
-            self.I3.append(jnp.asarray(I3, dtype=fine_op.dtype))
+            return jnp.asarray(I3, dtype=fine_op.dtype)
+
+        self.transfers: list[_Transfer] = []
+        for li in range(len(levels) - 1):
+            fl = self.levels[li]
+            self.transfers.append(_Transfer(
+                _I3(levels[li + 1], levels[li]),
+                fl.op.gather_E, fl.op.assemble, fl.inv_mult))
+
+        # ---- h-coarsening below p=1 (structured tank meshes) ----
+        # On the lattice numbering, p=1 on a uniformly refined Cartesian mesh
+        # shares its dof grid with p=2 on the half mesh; continue the
+        # hierarchy by mesh halving until the coarse problem is dense-solver
+        # sized. Restores h-independent iteration counts at 10M+ dofs where
+        # a fixed-degree Chebyshev coarse solve degrades.
+        while True:
+            bot = self.levels[-1]
+            sp_b = bot.op.space
+            # stop well above the dense limit: a Chebyshev coarse solve at a
+            # few 10k dofs is already h-independent enough, and very deep
+            # chains reach degenerate (single-element-axis) meshes
+            if (sp_b.p != 1 or sp_b.struct is None
+                    or bot.op.n_dofs <= max(coarse_dense_limit,
+                                            h_coarsen_min_dofs)):
+                break
+            # only when the essential set is exactly the free-surface plane
+            if not np.array_equal(np.sort(np.asarray(bot.ess)),
+                                  _top_plane_dofs(sp_b.struct)):
+                break
+            mesh_c = _coarsen_structured_mesh(sp_b)
+            if mesh_c is None:
+                break
+            sp_c = H1Space(mesh_c, 1)
+            hs = H1Space(mesh_c, 2)
+            if (sp_c.struct is None or hs.struct is None
+                    or hs.struct.dof_dims != sp_b.struct.dof_dims
+                    or hs.n_dofs != bot.op.n_dofs):
+                break
+            op_c = LaplacePA(sp_c, dtype=fine_op.dtype, mode="fused")
+            lvl_c = _Level(op_c, _top_plane_dofs(sp_c.struct))
+            from .operators import StructuredLattice
+            lat = StructuredLattice(hs.struct, 2)
+            hs_inv_mult = jnp.asarray(1.0 / hs.node_mult, dtype=fine_op.dtype)
+            self.transfers.append(_Transfer(_I3(1, 2), lat.gather, lat.scatter,
+                                            hs_inv_mult))
+            self.levels.append(lvl_c)
+            self.orders = self.orders + [1]
 
         # smoothers (need lmax of D^-1 A_c per level); thread each level's
         # big buffers as jit arguments (lpfem.params)
@@ -208,19 +321,13 @@ class PMultigrid:
     # ------------------------------------------------------------ transfers
     def prolong(self, li: int, xc):
         """coarse level li+1 -> fine level li."""
-        fine, coarse = self.levels[li], self.levels[li + 1]
-        uc = coarse.op.gather_E(xc)
-        uf = jnp.einsum("fc,ec->ef", self.I3[li], uc)
-        xf = fine.op.assemble(uf) * fine.inv_mult
-        return xf * fine.free
+        return self.transfers[li].prolong(self.levels[li + 1],
+                                          self.levels[li], xc)
 
     def restrict(self, li: int, rf):
         """fine level li -> coarse level li+1 (transpose of prolong)."""
-        fine, coarse = self.levels[li], self.levels[li + 1]
-        uf = fine.op.gather_E(rf * fine.inv_mult)
-        uc = jnp.einsum("fc,ef->ec", self.I3[li], uf)
-        rc = coarse.op.assemble(uc)
-        return rc * coarse.free
+        return self.transfers[li].restrict(self.levels[li + 1],
+                                           self.levels[li], rf)
 
     # -------------------------------------------------------------- V-cycle
     def _vcycle(self, li: int, r):
@@ -243,4 +350,6 @@ class PMultigrid:
             lv.register_params(bp)
         for sm in self.smoothers:
             bp.register(sm, "inv_diag")
+        for tr in self.transfers:
+            bp.register(tr, "via_inv_mult")
         bp.register(self, "_coarse_inv")

@@ -100,3 +100,28 @@ def test_gauss_seidel_host_smoothes():
         errs.append(np.linalg.norm(x - x_exact))
     assert all(errs[i + 1] < errs[i] for i in range(4)), errs
     assert errs[-1] < errs[0] * 0.5
+
+
+def test_pmg_h_coarsening_below_p1():
+    """h-levels below p=1 via mesh halving (the lattice-identification trick:
+    p=1 on the refined mesh == p=2 dof grid on the half mesh)."""
+    from lpfem.mesh import make_wave_tank
+    m = make_wave_tank(8, 2, 4)
+    for _ in range(1):
+        m = m.uniform_refine()
+    sp = H1Space(m, 2)
+    op = LaplacePA(sp)
+    surf = SurfaceSpace(sp, attr=2)
+    pmg = PMultigrid(op, ess_dofs=np.asarray(surf.surf_to_vol),
+                     coarse_dense_limit=150, h_coarsen_min_dofs=300)
+    assert len(pmg.levels) >= 3, [lv.op.n_dofs for lv in pmg.levels]
+    # solve quality: same as before
+    bbmin, bbmax = m.bounding_box()
+    wave = AiryWave.from_modes(H=0.005, m=2, Lx=1.0, h=bbmax[2] - bbmin[2],
+                               z_top=bbmax[2])
+    ess = jnp.asarray(surf.surf_to_vol.astype(np.int32))
+    pfs = jnp.asarray(surf.project(lambda x, y, z: wave.phi(x, y, z)))
+    B, x0 = op.constrained_rhs(jnp.zeros(sp.n_dofs), ess, pfs)
+    res = pcg(lambda v: op.constrained_apply(v, ess), B, x0, precond_fn=pmg,
+              rtol_sq=1e-24, max_iter=500)
+    assert int(res.iters) < 25, int(res.iters)
