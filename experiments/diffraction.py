@@ -121,6 +121,7 @@ def main():
         jax.block_until_ready(etas)
         t = float(t)
         done += n
+        prob.check_state(y, phi)   # failure detection
         ts_all.append(np.asarray(ts))
         etas_all.append(np.asarray(etas))
         print(f"step {done}/{args.nsteps} t={t:.3f} "

@@ -90,6 +90,7 @@ def main():
         (t, y, phi), _ = prob.run(n_steps=n, t0=t, state=(y, phi))
         t = float(t)
         step += n
+        prob.check_state(y, phi)   # failure detection
         if step % 10 < n:
             print(f"Step {step} / {cfg.nsteps}, t = {t:.4f} "
                   f"[{time.perf_counter() - t_wall0:.1f}s]")

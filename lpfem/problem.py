@@ -179,6 +179,14 @@ class Problem:
             self._compiled[key] = jit_with_params(go, self.params)
         return self._compiled[key](t0, y0, phi0)
 
+    def check_state(self, y, phi) -> None:
+        """Failure detection (SURVEY.md §5 — the reference has none): raise
+        with context if the solver state went non-finite (diverged RK4,
+        NaN preconditioner, ...)."""
+        from .profiling import check_finite
+        check_finite("free-surface state [eta; phi_fs]", y)
+        check_finite("volume potential", phi)
+
     # ----------------------------------------------------------------- errors
     def eta_error_inf(self, y, t) -> float:
         """max-norm error of eta vs the analytic wave at time t (MFEM

@@ -60,6 +60,10 @@ def pcg(apply_fn: Callable, b: jax.Array, x0: jax.Array,
 
     def cond(state):
         x, r, d, rz, it = state
+        # NaN guard: a diverged/NaN preconditioner makes `rz > threshold`
+        # False (NaN comparisons), which would silently look like instant
+        # convergence; keep that exit behavior but the caller can detect it
+        # via a non-finite CGResult.rz.
         return jnp.logical_and(rz > threshold, it < max_iter)
 
     def body(state):
