@@ -23,6 +23,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -33,9 +34,15 @@ def main():
     ap.add_argument("--order", type=int, default=4)
     ap.add_argument("--nsteps", type=int, default=350)
     ap.add_argument("--periods", type=float, default=10.0)
-    ap.add_argument("--n-theta", type=int, default=32)
-    ap.add_argument("--n-r", type=int, default=16)
-    ap.add_argument("--nz", type=int, default=2)
+    ap.add_argument("--n-theta", type=int, default=64)
+    ap.add_argument("--n-r", type=int, default=16,
+                    help="radial layers (ignored when --dr-max is set)")
+    ap.add_argument("--dr-max", type=float, default=0.35,
+                    help="cap on radial layer width in wavelengths; the "
+                         "far field must resolve the propagating wave "
+                         "(reference half mesh: ~0.5 background spacing). "
+                         "0 disables (pure geometric grading)")
+    ap.add_argument("--nz", type=int, default=1)
     ap.add_argument("--gmsh", default=None, help="load a Gmsh v2.2 mesh instead")
     ap.add_argument("--cx", type=float, default=4.0)
     ap.add_argument("--cy", type=float, default=0.0,
@@ -54,7 +61,7 @@ def main():
     args = ap.parse_args()
     if args.quick:
         args.order, args.nsteps, args.periods = 2, 60, 3.0
-        args.n_theta, args.n_r = 12, 6
+        args.n_theta, args.n_r, args.dr_max = 12, 6, 0.0
     if args.rtol_sq is None:
         args.rtol_sq = 1e-24 if args.dtype == "float64" else 1e-10
     # absolute residual floor: the envelope physics needs ||r|| ~ 1e-8 of the
@@ -77,7 +84,9 @@ def main():
         mesh = make_half_cylinder_tank(Lx=12.0, Ly=6.0, h=h, cx=args.cx,
                                        a=args.radius, n_theta=args.n_theta,
                                        n_r=args.n_r, nz=args.nz,
-                                       geom_order=args.order)
+                                       geom_order=args.order,
+                                       grading=1.4 if args.dr_max else 1.25,
+                                       dr_max=args.dr_max or None)
 
     cfg = Config(name="cylinder_diffraction", order=args.order, H=args.H,
                  wave_by="wavelength", wave_lambda=1.0, kh_override=1.0,
@@ -147,15 +156,16 @@ def main():
     uniq = np.concatenate([[True], np.diff(th) > 1e-10])
     th, vals = th[uniq], vals[uniq]
 
+    # fresh file per run (the rim table is a result set, not an append log)
+    if os.path.exists(args.out):
+        os.remove(args.out)
     df = DataFile(args.out, "theta(rad) eta")
-    open(args.out, "w").write("# theta(rad)  eta\n")
     for a_, v_ in zip(th, vals):
-        open(args.out, "a").write(f"{a_} {v_}\n")
+        df.append(a_, v_)
     print(f"extracted {len(th)} rim points -> {args.out}")
 
     # ParaView envelope snapshot (cylinder-diffraction.cpp:729-743)
     from lpfem.io import write_vtu_surface
-    import os
     os.makedirs("ParaView", exist_ok=True)
     write_vtu_surface("ParaView/cylinder_envelope.vtu", prob.surf,
                       {"eta_env": env, "eta_final": np.asarray(y[:ns])})

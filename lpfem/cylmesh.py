@@ -44,12 +44,28 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
                             cx: float = 4.0, a: float = 0.5,
                             n_theta: int = 24, n_r: int = 12, nz: int = 2,
                             grading: float = 1.25,
-                            geom_order: int | None = None) -> Mesh:
+                            geom_order: int | None = None,
+                            dr0: float | None = None,
+                            dr_max: float | None = None) -> Mesh:
     """Polar-block half-cylinder tank.
 
     Domain: [0,Lx] x [0,Ly] x [0,h] minus the half-disk of radius ``a``
     centered at (cx, 0) (the symmetry plane is y=0). ``grading`` > 1 packs
     radial layers toward the cylinder.
+
+    Radial sizing: by default ``n_r`` geometrically graded layers (the
+    outermost layer can get arbitrarily large on long rays — adequate for
+    Laplace validation, NOT for wave propagation). Passing ``dr_max``
+    switches to a capped profile — layers grow geometrically from ``dr0``
+    (default: the rim arc length, for square near-cylinder elements) up to
+    ``dr_max`` and stay there, and ``n_r`` is derived from the longest ray.
+    The reference resolves its far field at ~0.5 wavelengths per element
+    (``Meshes/mesh_cylinder_half.msh`` boundary spacing); ``dr_max`` is the
+    equivalent knob here.
+
+    The mesh is geometrically curved but *logically* a deformed box, so it
+    declares ``elem_lattice`` and rides the gather-free structured E-vector
+    transfer (no irregular gathers on TPU).
     """
     c = np.array([cx, 0.0])
     # theta grid with the rectangle's upper-corner angles as exact grid
@@ -67,8 +83,18 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
     pieces = [np.linspace(a_, b, k, endpoint=False)
               for (a_, b), k in zip(arcs, counts)]
     thetas = np.concatenate(pieces + [[np.pi]])
-    # radial fractions with geometric grading (fine near the cylinder)
-    w = grading ** np.arange(n_r)
+    # radial fractions: capped profile (wave-resolving) or pure geometric
+    if dr_max is not None:
+        ray_len = max(_ray_boundary_hit(c, np.array([np.cos(t), np.sin(t)]),
+                                        Lx, Ly) for t in thetas) - a
+        w0 = dr0 if dr0 is not None else a * np.pi / n_theta
+        widths = [min(w0, dr_max)]
+        while sum(widths) < ray_len:
+            widths.append(min(widths[-1] * grading, dr_max))
+        w = np.asarray(widths)
+        n_r = len(w)
+    else:
+        w = grading ** np.arange(n_r)
     frac = np.concatenate([[0.0], np.cumsum(w)]) / np.sum(w)
 
     # 2D node grid [n_theta+1, n_r+1, 2]
@@ -101,25 +127,28 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
     # hexes: quad (i,j) x layer k. 2D quad cycle (ccw in x-y):
     # (i,j) -> (i,j+1) -> (i+1,j+1) -> (i+1,j) has positive orientation since
     # theta increases ccw and r outward: check below and fix orientation.
-    elems = []
+    elems, elat = [], []
     for i in range(n_theta):
         for j in range(n_r):
+            # local x = +r (v0->v1), local y = +theta (v0->v3): positive
+            # orientation (e_r x e_theta = +z) and lattice-aligned axes for
+            # the structured renumber (ex, ey, ez) = (j, i, k)
             q = [vid2(i, j), vid2(i, j + 1), vid2(i + 1, j + 1), vid2(i + 1, j)]
-            # ensure ccw (positive z-normal)
             p = verts2[q]
             area = 0.0
             for m in range(4):
                 x0, y0 = p[m]
                 x1, y1 = p[(m + 1) % 4]
                 area += x0 * y1 - x1 * y0
-            if area < 0:
-                q = q[::-1]
+            assert area > 0, "polar quad unexpectedly clockwise"
             for k in range(nz):
                 elems.append([q[0] + k * nv2, q[1] + k * nv2,
                               q[2] + k * nv2, q[3] + k * nv2,
                               q[0] + (k + 1) * nv2, q[1] + (k + 1) * nv2,
                               q[2] + (k + 1) * nv2, q[3] + (k + 1) * nv2])
+                elat.append((j, i, k))
     elems = np.asarray(elems, dtype=np.int64)
+    elat = np.asarray(elat, dtype=np.int64)
 
     # boundary quads: top z=h -> 2, cylinder r=a -> 3, rest -> 1
     bq, ba = [], []
@@ -155,7 +184,8 @@ def make_half_cylinder_tank(Lx: float = 12.0, Ly: float = 6.0,
 
     mesh = Mesh(verts=verts, elems=elems, corner_coords=verts[elems],
                 bdr_quads=np.asarray(bq, dtype=np.int64),
-                bdr_attrs=np.asarray(ba, dtype=np.int64))
+                bdr_attrs=np.asarray(ba, dtype=np.int64),
+                elem_lattice=elat, lattice_dims=(n_r, n_theta, nz))
     if geom_order:
         set_cylinder_geometry(mesh, geom_order, Lx=Lx, Ly=Ly, cx=cx, a=a)
     return mesh

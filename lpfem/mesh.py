@@ -90,6 +90,15 @@ class Mesh:
     # Axes (0=x,1=y,2=z) identified by MakePeriodic — drives the structured
     # fast path's wrap-around handling.
     periodic_axes: tuple = ()
+    # Optional LOGICAL lattice structure declared by the generator: integer
+    # element coordinates [ne, 3] on a (nex, ney, nez) grid, with every
+    # element's local axes aligned to the lattice axes. Lets topologically
+    # tensor-product but geometrically curved meshes (e.g. the polar
+    # half-cylinder block) use the gather-free structured E-vector transfer —
+    # H1Space verifies the declared structure against the topological dof
+    # numbering and silently falls back if it doesn't hold.
+    elem_lattice: np.ndarray | None = None
+    lattice_dims: tuple | None = None
 
     @property
     def n_elems(self) -> int:

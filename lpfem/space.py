@@ -239,19 +239,34 @@ class H1Space:
 
     def __init__(self, mesh: Mesh, p: int, structured: bool = True):
         self.struct = None
-        det = _detect_structured_mesh(mesh) if structured else None
-        if det is not None:
-            elem_dims, eperm = det
+        det = None
+        lattice = structured and mesh.elem_lattice is not None
+        if lattice:
+            # generator-declared logical lattice (curved tensor-product
+            # meshes, e.g. the polar cylinder block): reorder lattice-major
+            nex, ney, nez = mesh.lattice_dims
+            el = np.asarray(mesh.elem_lattice)
+            eperm = np.argsort(el[:, 0] + nex * (el[:, 1] + ney * el[:, 2]),
+                               kind="stable")
+        else:
+            det = _detect_structured_mesh(mesh) if structured else None
+            if det is not None:
+                elem_dims, eperm = det
+        if lattice or det is not None:
             mesh = Mesh(mesh.verts, mesh.elems[eperm],
                         mesh.corner_coords[eperm], mesh.bdr_quads,
                         mesh.bdr_attrs, mesh.periodic,
                         None if mesh.geom_nodes is None else mesh.geom_nodes[eperm],
-                        mesh.geom_order, periodic_axes=mesh.periodic_axes)
+                        mesh.geom_order, periodic_axes=mesh.periodic_axes,
+                        elem_lattice=(mesh.elem_lattice[eperm] if lattice else None),
+                        lattice_dims=mesh.lattice_dims)
         self.mesh = mesh
         self.p = p
         self.elem_dofs, self.n_dofs, (self._uniq_faces, self._face_id) = \
             build_hex_dofs(mesh.elems, mesh.n_verts, p)
-        if det is not None:
+        if lattice:
+            self._renumber_from_lattice()
+        elif det is not None:
             self._try_structured_renumber(elem_dims)
 
         # boundary face -> (element, local face) lookup
@@ -279,6 +294,55 @@ class H1Space:
             self.bdr_face = np.zeros(0, dtype=np.int64)
 
     # -------------------------------------------------- structured renumber
+    def _renumber_from_lattice(self) -> None:
+        """Renumber dofs onto the global GLL lattice of a generator-declared
+        logical element lattice (``mesh.elem_lattice``/``lattice_dims``).
+
+        Unlike :meth:`_try_structured_renumber` this is purely integer —
+        no coordinate tensor-product detection — so it works for curved
+        meshes whose *topology* is a deformed box (polar cylinder block).
+        The candidate numbering is verified against the topological
+        ``build_hex_dofs`` sharing pattern over EVERY element (each old dof
+        id must map to exactly one lattice id, bijectively); on any mismatch
+        (e.g. inconsistent element orientation) we silently keep the
+        unstructured numbering.
+        """
+        mesh = self.mesh
+        nex, ney, nez = mesh.lattice_dims
+        p, p1 = self.p, self.p + 1
+        per = tuple(a in mesh.periodic_axes for a in range(3))
+        Dx = nex * p + (0 if per[0] else 1)
+        Dy = ney * p + (0 if per[1] else 1)
+        Dz = nez * p + (0 if per[2] else 1)
+        if Dx * Dy * Dz != self.n_dofs:
+            return
+        el = np.asarray(mesh.elem_lattice)
+        ax = np.arange(p1)
+        gx = el[:, 0, None] * p + ax
+        gy = el[:, 1, None] * p + ax
+        gz = el[:, 2, None] * p + ax
+        if per[0]:
+            gx %= Dx
+        if per[1]:
+            gy %= Dy
+        if per[2]:
+            gz %= Dz
+        # local lex order (x fastest) matching build_hex_dofs
+        new = (gx[:, None, None, :] + Dx * (gy[:, None, :, None]
+                                            + Dy * gz[:, :, None, None]))
+        new = new.reshape(len(el), p1 ** 3)
+        m = np.full(self.n_dofs, -1, dtype=np.int64)
+        m[self.elem_dofs.ravel()] = new.ravel()
+        if not np.array_equal(m[self.elem_dofs], new):
+            return  # sharing pattern disagrees: orientation not lattice-aligned
+        if m.min() < 0 or len(np.unique(m)) != self.n_dofs:
+            return
+        self.elem_dofs = new
+        self.struct = StructuredInfo(dof_dims=(Dx, Dy, Dz),
+                                     elem_dims=(nex, ney, nez), periodic=per)
+        self.__dict__.pop("node_coords", None)
+        self.__dict__.pop("node_mult", None)
+
     def _try_structured_renumber(self, elem_dims) -> None:
         """Renumber dofs onto the global GLL lattice if the node coordinates
         form a tensor product; sets ``self.struct`` on success."""

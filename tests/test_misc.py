@@ -122,3 +122,40 @@ def test_gmsh_parser_via_reference():
     from lpfem.operators import LaplacePA
     sp = H1Space(m, 1)
     LaplacePA(sp)   # positive Jacobians
+
+
+def test_polar_mesh_structured_lattice_equivalence():
+    """The polar cylinder mesh declares a logical lattice; the structured
+    (gather-free) numbering must produce the same operator action as the
+    generic topological numbering, matched through node coordinates."""
+    import jax.numpy as jnp
+    from lpfem.operators import LaplacePA
+
+    p = 3
+    m = make_half_cylinder_tank(n_theta=14, n_r=7, nz=2, geom_order=p)
+    sp_s = H1Space(m, p)
+    sp_u = H1Space(m, p, structured=False)
+    assert sp_s.struct is not None
+    assert sp_u.struct is None
+    f = lambda X: np.sin(3 * X[:, 0]) * np.cos(2 * X[:, 1]) + X[:, 2] ** 2
+    xs = jnp.asarray(f(sp_s.node_coords))
+    xu = jnp.asarray(f(sp_u.node_coords))
+    ys = np.asarray(LaplacePA(sp_s).apply(xs))
+    yu = np.asarray(LaplacePA(sp_u).apply(xu))
+    ks = np.lexsort(np.round(sp_s.node_coords, 9).T)
+    ku = np.lexsort(np.round(sp_u.node_coords, 9).T)
+    assert np.allclose(sp_s.node_coords[ks], sp_u.node_coords[ku], atol=1e-9)
+    assert np.allclose(ys[ks], yu[ku], atol=1e-12)
+
+
+def test_polar_mesh_capped_radial_profile():
+    """dr_max caps every radial layer (wave-resolving far field)."""
+    m = make_half_cylinder_tank(n_theta=32, nz=1, dr_max=0.35, grading=1.4,
+                                geom_order=2)
+    assert m.lattice_dims is not None
+    cc = m.corner_coords
+    # per-ray radial layer width must be <= dr_max: corners v0->v1 and
+    # v3->v2 are the +r edges at fixed theta (see cylmesh element ordering)
+    r = np.hypot(cc[..., 0] - 4.0, cc[..., 1])
+    dr = np.maximum(np.abs(r[:, 1] - r[:, 0]), np.abs(r[:, 2] - r[:, 3]))
+    assert float(dr.max()) <= 0.35 + 1e-9
