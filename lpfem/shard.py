@@ -66,7 +66,8 @@ class Partition:
     level hierarchy) share one element decomposition.
     """
 
-    def __init__(self, space, ndev: int, part: np.ndarray | None = None):
+    def __init__(self, space, ndev: int, part: np.ndarray | None = None,
+                 owner: np.ndarray | None = None):
         self.ndev = ndev
         ed = space.elem_dofs
         ne, L = ed.shape
@@ -87,9 +88,15 @@ class Partition:
         pe = np.repeat(part, L)
         np.minimum.at(pmin, ed.ravel(), pe)
         np.maximum.at(pmax, ed.ravel(), pe)
-        owner = pmin
+        if owner is None:
+            owner = pmin
+        else:
+            # inherited ownership (the MG h-transfer 'via' space adopts the
+            # fine level's dof layout so transfers need no re-layout); a dof
+            # is interface whenever any toucher differs from the owner
+            owner = np.asarray(owner)
         self.owner = owner
-        iface = pmin != pmax
+        iface = (pmin != owner) | (pmax != owner)
         self.n_iface = int(iface.sum())
 
         # owner-major renumbering; local index within owner block
@@ -179,44 +186,27 @@ class Partition:
         return out
 
 
-class ShardedLevel:
-    """SPMD operator machinery for one space/operator over a Partition.
+class ShardedExchange:
+    """Interface-exchange machinery for one Partition: the T-dof <-> L-dof /
+    E-vector transfer primitives used inside shard_map.
 
-    Holds the stacked (host->device) tables and provides the per-device
-    primitives used inside shard_map. Per-device table slices travel as a
-    dict pytree; static sizes live on the instance.
+    Holds only the index tables (no operator); :class:`ShardedLevel` extends
+    it with the operator data. MG h-transfer 'via' spaces use this class
+    directly (a p=2 space on the half mesh that shares the fine level's dof
+    layout — see :class:`ShardedPMG`).
     """
 
-    def __init__(self, op: LaplacePA, pt: Partition,
-                 ess_dofs: np.ndarray, axis: str = "shard"):
-        self.op = op
+    def __init__(self, pt: Partition, axis: str = "shard"):
         self.pt = pt
         self.axis = axis
         # pad the halo segment to >=1 so zero-halo (single-shard) partitions
         # keep static shapes consistent with the [ndev, max(H_max,1)] tables
         self.N_max, self.H_max, self.NS = pt.N_max, max(pt.H_max, 1), pt.NS
-        self.Q = op.q ** 3
-        self.Jr2 = op.Jr.reshape(3 * self.Q, -1)
-        dtype = op.dtype
-        n = op.n_dofs
-
-        ess_mask_g = np.zeros(n)
-        ess_mask_g[ess_dofs] = 1.0
-        diag_c = np.where(ess_mask_g > 0, 1.0, np.asarray(op.diag))
-        dstack = pt.stack_dof(diag_c, fill=1.0)
-        dstack[:, pt.N_max] = 1.0
-        mstack = pt.stack_dof(op.space.node_mult, fill=1.0)
-        mstack[:, pt.N_max] = 1.0
-
         self.tables = {
             "led": jnp.asarray(pt.local_elem_dofs),
-            "G": jnp.asarray(pt.stack_elem(np.asarray(op.G)), dtype=dtype),
             "oip": jnp.asarray(pt.own_if_pos),
             "oil": jnp.asarray(pt.own_if_loc),
             "hp": jnp.asarray(pt.halo_pos),
-            "ess": jnp.asarray(pt.stack_dof(ess_mask_g), dtype=dtype),
-            "invd": jnp.asarray(1.0 / dstack, dtype=dtype),
-            "invm": jnp.asarray(1.0 / mstack, dtype=dtype),
         }
 
     # ---- device-side primitives (tb = per-device slice of self.tables) ----
@@ -246,6 +236,42 @@ class ShardedLevel:
                           ).at[tb["led"]].add(ye)
         return self.assemble_own(tb, y_loc)
 
+    def pdot(self, a, b):
+        return self._psum(jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST))
+
+
+class ShardedLevel(ShardedExchange):
+    """SPMD operator machinery for one space/operator over a Partition.
+
+    Holds the stacked (host->device) tables and provides the per-device
+    primitives used inside shard_map. Per-device table slices travel as a
+    dict pytree; static sizes live on the instance.
+    """
+
+    def __init__(self, op: LaplacePA, pt: Partition,
+                 ess_dofs: np.ndarray, axis: str = "shard"):
+        super().__init__(pt, axis)
+        self.op = op
+        self.Q = op.q ** 3
+        self.Jr2 = op.Jr.reshape(3 * self.Q, -1)
+        dtype = op.dtype
+        n = op.n_dofs
+
+        ess_mask_g = np.zeros(n)
+        ess_mask_g[ess_dofs] = 1.0
+        diag_c = np.where(ess_mask_g > 0, 1.0, np.asarray(op.diag))
+        dstack = pt.stack_dof(diag_c, fill=1.0)
+        dstack[:, pt.N_max] = 1.0
+        mstack = pt.stack_dof(op.space.node_mult, fill=1.0)
+        mstack[:, pt.N_max] = 1.0
+
+        self.tables.update({
+            "G": jnp.asarray(pt.stack_elem(np.asarray(op.G)), dtype=dtype),
+            "ess": jnp.asarray(pt.stack_dof(ess_mask_g), dtype=dtype),
+            "invd": jnp.asarray(1.0 / dstack, dtype=dtype),
+            "invm": jnp.asarray(1.0 / mstack, dtype=dtype),
+        })
+
     def apply_own(self, tb, x_own):
         """A x on owned lanes (no BC)."""
         u = self.gather_E(tb, x_own)
@@ -259,9 +285,6 @@ class ShardedLevel:
         free = 1.0 - tb["ess"]
         y = self.apply_own(tb, x_own * free)
         return y * free + x_own * tb["ess"]
-
-    def pdot(self, a, b):
-        return self._psum(jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST))
 
 
 class _ShardedChebyshev:
@@ -297,20 +320,61 @@ class _ShardedChebyshev:
         return z
 
 
+class _ShardedTransfer:
+    """Embedded-interpolation transfer between consecutive sharded levels.
+
+    For p-coarsening the fine-side E-vector exchange is the fine level
+    itself (``via=None``). For h-coarsening below p=1 the fine side rides a
+    helper p=2 exchange on the half mesh whose dof layout is IDENTICAL to
+    the fine level's (ownership inherited through the Partition ``owner``
+    override), so no re-layout communication is needed — same trick as the
+    single-device ``lpfem.multigrid._Transfer``.
+    """
+
+    def __init__(self, I3, fine: ShardedLevel, coarse: ShardedLevel,
+                 via: ShardedExchange | None = None):
+        self.I3 = I3
+        self.fine = fine
+        self.coarse = coarse
+        self.via = via
+
+    def _via(self, tbf, vtb):
+        return (self.fine, tbf) if self.via is None else (self.via, vtb)
+
+    def prolong(self, tbf, tbc, vtb, xc):
+        via, tbv = self._via(tbf, vtb)
+        uc = self.coarse.gather_E(tbc, xc)
+        uf = jnp.einsum("fc,ec->ef", self.I3, uc)
+        xf = via.assemble_E(tbv, uf) * tbv["invm"]
+        return xf * (1.0 - tbf["ess"])
+
+    def restrict(self, tbf, tbc, vtb, rf):
+        via, tbv = self._via(tbf, vtb)
+        uf = via.gather_E(tbv, rf * tbv["invm"])
+        uc = jnp.einsum("fc,ef->ec", self.I3, uf)
+        rc = self.coarse.assemble_E(tbc, uc)
+        return rc * (1.0 - tbc["ess"])
+
+
 class ShardedPMG:
-    """Sharded p-multigrid V-cycle: per-level ShardedLevels over one element
-    partition + embedded-interpolation transfers (see lpfem.multigrid for the
-    single-device variant and the SPD-consistency argument)."""
+    """Sharded multigrid V-cycle: p-coarsening levels over one element
+    partition, then h-coarsening below p=1 on per-level partitions derived
+    from the fine slabs (see lpfem.multigrid for the single-device variant
+    and the SPD-consistency argument). Matches the fully parallel role of
+    the reference's BoomerAMG (``Solvers/laplace_solver_parallel.cpp:134-146``)."""
 
     def __init__(self, prob: Problem, pt_fine: Partition, ndev: int,
-                 smooth_degree: int = 3, coarse_cheb_degree: int = 16):
-        from .elements import basis_1d, lagrange_eval
-        from .multigrid import PMultigrid, estimate_lmax, _interp_1d
+                 smooth_degree: int = 3, coarse_cheb_degree: int = 16,
+                 h_coarsen_min_dofs: int = 20000):
+        from .multigrid import (_coarsen_structured_mesh, _interp_1d,
+                                _top_plane_dofs, estimate_lmax)
+        from .params import BigParams
         from .space import H1Space
 
         space = prob.space
         mesh = space.mesh
         p = space.p
+        dtype = prob.op.dtype
         orders = []
         q = p
         while q > 1:
@@ -319,8 +383,16 @@ class ShardedPMG:
         orders.append(1)
         self.orders = orders
 
+        def _I3(pc, pf):
+            I1 = _interp_1d(pc, pf)
+            return jnp.asarray(
+                np.einsum("cz,by,ax->cbazyx", I1, I1, I1).reshape(
+                    (pf + 1) ** 3, (pc + 1) ** 3), dtype=dtype)
+
         self.levels: list[ShardedLevel] = []
+        self.transfers: list[_ShardedTransfer] = []
         ess_fine = np.asarray(prob.surf.surf_to_vol)
+        self.ess_list = []
         for li, pl in enumerate(orders):
             if li == 0:
                 op = prob.op
@@ -328,30 +400,72 @@ class ShardedPMG:
                 ess = ess_fine
             else:
                 sp = H1Space(mesh, pl)
-                op = LaplacePA(sp, dtype=prob.op.dtype, mode="fused")
+                op = LaplacePA(sp, dtype=dtype, mode="fused")
                 pt = Partition(sp, ndev, part=pt_fine.part)
                 ess = sp.boundary_dofs(2)
             self.levels.append(ShardedLevel(op, pt, ess))
+            self.ess_list.append(ess)
+            if li > 0:
+                self.transfers.append(_ShardedTransfer(
+                    _I3(orders[li], orders[li - 1]),
+                    self.levels[-2], self.levels[-1]))
 
-        self.I3 = []
-        for li in range(len(orders) - 1):
-            pf, pc = orders[li], orders[li + 1]
-            I1 = _interp_1d(pc, pf)
-            I3 = np.einsum("cz,by,ax->cbazyx", I1, I1, I1).reshape(
-                (pf + 1) ** 3, (pc + 1) ** 3)
-            self.I3.append(jnp.asarray(I3, dtype=prob.op.dtype))
+        # ---- h-coarsening below p=1 (structured tank meshes), sharded ----
+        while True:
+            bot = self.levels[-1]
+            sp_b = bot.op.space
+            if (sp_b.p != 1 or sp_b.struct is None
+                    or bot.op.n_dofs <= h_coarsen_min_dofs):
+                break
+            if not np.array_equal(np.sort(np.asarray(self.ess_list[-1])),
+                                  _top_plane_dofs(sp_b.struct)):
+                break
+            mesh_c = _coarsen_structured_mesh(sp_b)
+            if mesh_c is None:
+                break
+            sp_c = H1Space(mesh_c, 1)
+            hs = H1Space(mesh_c, 2)
+            if (sp_c.struct is None or hs.struct is None
+                    or hs.struct.dof_dims != sp_b.struct.dof_dims
+                    or hs.n_dofs != bot.op.n_dofs):
+                break
+            # coarse slab partition descends from the bottom level's: parent
+            # element -> device of its (0,0,0) child
+            nex, ney, nez = sp_b.struct.elem_dims
+            pf3 = np.asarray(bot.pt.part).reshape(nez, ney, nex)
+            part_c = np.ascontiguousarray(pf3[::2, ::2, ::2]).reshape(-1)
+            pt_c = Partition(sp_c, ndev, part=part_c)
+            op_c = LaplacePA(sp_c, dtype=dtype, mode="fused")
+            ess_c = _top_plane_dofs(sp_c.struct)
+            lvl_c = ShardedLevel(op_c, pt_c, ess_c)
+            # 'via' p=2 exchange on the half mesh, dof layout inherited from
+            # the bottom level (identical global lattice numbering)
+            pt_via = Partition(hs, ndev, part=part_c, owner=bot.pt.owner)
+            assert pt_via.N_max == bot.pt.N_max
+            via = ShardedExchange(pt_via)
+            mstack = pt_via.stack_dof(np.asarray(hs.node_mult, dtype=np.float64),
+                                      fill=1.0)
+            mstack[:, pt_via.N_max] = 1.0
+            via.tables["invm"] = jnp.asarray(1.0 / mstack, dtype=dtype)
+            self.transfers.append(_ShardedTransfer(_I3(1, 2), bot, lvl_c,
+                                                   via=via))
+            self.levels.append(lvl_c)
+            self.ess_list.append(ess_c)
+            self.orders = self.orders + [1]
 
-        # eigenvalue estimates on the single-device operators (same spectra)
+        # eigenvalue estimates on the single-device operators (same spectra);
+        # big operator buffers are threaded as jit arguments (lpfem.params),
+        # not HLO constants — the compile-payload cap applies here too
         self.lmax = []
-        for li, pl in enumerate(orders):
-            op = self.levels[li].op
-            sp = op.space
-            ess = ess_fine if li == 0 else sp.boundary_dofs(2)
+        for lv, ess in zip(self.levels, self.ess_list):
+            op = lv.op
             essj = jnp.asarray(np.asarray(ess).astype(np.int32))
             inv_diag = 1.0 / op.diag.at[essj].set(1.0)
-            from .multigrid import estimate_lmax as _el
-            self.lmax.append(_el(lambda v: op.constrained_apply(v, essj),
-                                 inv_diag, op.n_dofs, dtype=op.dtype))
+            bp = BigParams()
+            op.register_params(bp)
+            self.lmax.append(estimate_lmax(
+                lambda v: op.constrained_apply(v, essj), inv_diag,
+                op.n_dofs, dtype=op.dtype, params=bp))
         self.smoothers = [
             _ShardedChebyshev(lv, lm, degree=smooth_degree)
             for lv, lm in zip(self.levels, self.lmax)]
@@ -359,34 +473,25 @@ class ShardedPMG:
             self.levels[-1], self.lmax[-1], degree=coarse_cheb_degree)
 
     def all_tables(self):
-        """The stacked tables of every level as one pytree (for shard_map)."""
-        return [lv.tables for lv in self.levels]
+        """The stacked tables of every level and every transfer-via exchange
+        as one pytree (for shard_map)."""
+        return {"lv": [lv.tables for lv in self.levels],
+                "via": [None if tr.via is None else tr.via.tables
+                        for tr in self.transfers]}
 
     # device-side ---------------------------------------------------------
-    def prolong(self, li, tbs, xc):
-        fine, coarse = self.levels[li], self.levels[li + 1]
-        uc = coarse.gather_E(tbs[li + 1], xc)
-        uf = jnp.einsum("fc,ec->ef", self.I3[li], uc)
-        xf = fine.assemble_E(tbs[li], uf) * tbs[li]["invm"]
-        return xf * (1.0 - tbs[li]["ess"])
-
-    def restrict(self, li, tbs, rf):
-        fine, coarse = self.levels[li], self.levels[li + 1]
-        uf = fine.gather_E(tbs[li], rf * tbs[li]["invm"])
-        uc = jnp.einsum("fc,ef->ec", self.I3[li], uf)
-        rc = coarse.assemble_E(tbs[li + 1], uc)
-        return rc * (1.0 - tbs[li + 1]["ess"])
-
     def vcycle(self, tbs, r, li=0):
         lv = self.levels[li]
         sm = self.smoothers[li]
         if li == len(self.levels) - 1:
-            return sm(tbs[li], r)
-        z = sm(tbs[li], r)
-        rc = self.restrict(li, tbs, r - lv.apply_c(tbs[li], z))
+            return sm(tbs["lv"][li], r)
+        z = sm(tbs["lv"][li], r)
+        tr = self.transfers[li]
+        args = (tbs["lv"][li], tbs["lv"][li + 1], tbs["via"][li])
+        rc = tr.restrict(*args, r - lv.apply_c(tbs["lv"][li], z))
         zc = self.vcycle(tbs, rc, li + 1)
-        z = z + self.prolong(li, tbs, zc)
-        return sm(tbs[li], r, z0=z)
+        z = z + tr.prolong(*args, zc)
+        return sm(tbs["lv"][li], r, z0=z)
 
 
 class ShardedProblem:
@@ -515,7 +620,8 @@ class ShardedProblem:
     def run(self, n_steps: int | None = None, t0: float = 0.0, state=None):
         """Full sharded RK4 run. Returns (t, y_replicated, phi_stacked).
 
-        Compiled programs are cached per (n_steps, t0)."""
+        Compiled programs are cached per n_steps; ``t0`` is a traced argument
+        so chunked long runs reuse one executable (same as ``Problem.run``)."""
         prob = self.prob
         if n_steps is None:
             n_steps = prob.cfg.nsteps
@@ -523,24 +629,29 @@ class ShardedProblem:
             y0, phi0_g = prob.initial_state(t0)
         else:
             y0, phi0_g = state
-        phi0 = jnp.asarray(self.pt.stack_dof(np.asarray(phi0_g)),
-                           dtype=self.dtype)
+        if np.ndim(phi0_g) == 2:
+            phi0 = jnp.asarray(phi0_g, dtype=self.dtype)  # already stacked
+        else:
+            phi0 = jnp.asarray(self.pt.stack_dof(np.asarray(phi0_g)),
+                               dtype=self.dtype)
+        t0 = jnp.asarray(t0, dtype=self.dtype)
         if not hasattr(self, "_compiled"):
             self._compiled = {}
-        key = (n_steps, float(t0))
+        key = n_steps
         if key in self._compiled:
-            return self._compiled[key](y0, phi0)
+            return self._compiled[key](t0, y0, phi0)
 
         rhs = self._make_spmd_rhs()
         dt = prob.dt
-        pmg_tables = self.pmg.all_tables() if self.pmg is not None else []
+        pmg_tables = (self.pmg.all_tables() if self.pmg is not None
+                      else {"lv": [], "via": []})
 
-        def device_fn(y0, phi0, tb, pmg_tbs, jinv_z, surf_pos, surf_loc):
+        def device_fn(t0, y0, phi0, tb, pmg_tbs, jinv_z, surf_pos, surf_loc):
             # shard_map keeps rank: drop the leading size-1 device axis
             (phi0, jinv_z, surf_pos, surf_loc) = (
                 a[0] for a in (phi0, jinv_z, surf_pos, surf_loc))
-            tb = {k: v[0] for k, v in tb.items()}
-            pmg_tbs = [{k: v[0] for k, v in t.items()} for t in pmg_tbs]
+            tb = jax.tree.map(lambda a: a[0], tb)
+            pmg_tbs = jax.tree.map(lambda a: a[0], pmg_tbs)
 
             def f(t, y, phi_own):
                 return rhs(t, y, phi_own, tb, pmg_tbs, jinv_z, surf_pos,
@@ -552,18 +663,18 @@ class ShardedProblem:
         sh, rep = P("shard"), P()
         fn = jax.shard_map(
             device_fn, mesh=self.mesh,
-            in_specs=(rep, sh, sh, sh, sh, sh, sh),
+            in_specs=(rep, rep, sh, sh, sh, sh, sh, sh),
             out_specs=(rep, rep, sh),
             check_vma=False,
         )
         fn = jax.jit(fn)
 
-        def call(y0, phi0):
-            return fn(y0, phi0, self.fine.tables, pmg_tables, self.Jinv_z,
+        def call(t0, y0, phi0):
+            return fn(t0, y0, phi0, self.fine.tables, pmg_tables, self.Jinv_z,
                       self.surf_pos, self.surf_loc)
 
         self._compiled[key] = call
-        return call(y0, phi0)
+        return call(t0, y0, phi0)
 
     def phi_global(self, phi_stacked) -> np.ndarray:
         return self.pt.unstack_dof(np.asarray(phi_stacked))

@@ -64,3 +64,47 @@ def test_sharded_relaxation_tank():
     err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
     scale = max(float(np.max(np.abs(np.asarray(y1)))), 1e-30)
     assert err < 1e-11 * scale, (err, scale)
+
+
+def test_sharded_pmg_h_coarsening_matches_single_device():
+    """The sharded V-cycle with h-levels below p=1 must equal the
+    single-device PMultigrid V-cycle (same hierarchy, same smoothers) —
+    the fully-parallel-preconditioner analogue of BoomerAMG
+    (reference Solvers/laplace_solver_parallel.cpp:134-146)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from lpfem.multigrid import PMultigrid
+    from lpfem.shard import ShardedPMG
+
+    ndev = 4
+    cfg = preset("pf_linear_periodic", nx=8, ny=2, nz=4, order=2,
+                 cg_max_iter=300)
+    prob = Problem(cfg)
+    pt = Partition(prob.space, ndev)
+    spmg = ShardedPMG(prob, pt, ndev, h_coarsen_min_dofs=0)
+    assert len(spmg.levels) > 2, "h-coarsening below p=1 did not engage"
+
+    ess = np.asarray(prob.surf.surf_to_vol)
+    ref = PMultigrid(prob.op, ess_dofs=ess, coarse_dense_limit=0,
+                     h_coarsen_min_dofs=0)
+    assert len(ref.levels) == len(spmg.levels)
+
+    rng = np.random.default_rng(3)
+    r = rng.standard_normal(prob.space.n_dofs)
+    r[ess] = 0.0
+    z_ref = np.asarray(ref(jnp.asarray(r)))
+
+    mesh = make_device_mesh(ndev)
+    tbs = spmg.all_tables()
+    r_st = jnp.asarray(pt.stack_dof(r))
+
+    def dev_fn(r_st, tbs):
+        tbs = jax.tree.map(lambda a: a[0], tbs)
+        return spmg.vcycle(tbs, r_st[0])[None]
+
+    fn = jax.jit(jax.shard_map(dev_fn, mesh=mesh,
+                               in_specs=(P("shard"), P("shard")),
+                               out_specs=P("shard"), check_vma=False))
+    z_sh = pt.unstack_dof(np.asarray(fn(r_st, tbs)))
+    scale = np.max(np.abs(z_ref))
+    assert np.max(np.abs(z_sh - z_ref)) < 1e-11 * scale
