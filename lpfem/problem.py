@@ -165,10 +165,15 @@ class Problem:
         t0 = jnp.asarray(t0, dtype=self.dtype)
 
         if not jit:
-            return rk4_run(self.fso, y0, phi0, t0, self.dt, n_steps,
-                           record=record)
+            state_f, outs, ok = rk4_run(self.fso, y0, phi0, t0, self.dt,
+                                        n_steps, record=record)
+            self._last_ok = ok
+            return state_f, outs
 
-        key = (n_steps, id(record) if record is not None else None)
+        # cache key holds a strong reference to `record` (id() alone can be
+        # reused after garbage collection and silently return an executable
+        # traced with a previous record function)
+        key = (n_steps, record)
         if key not in self._compiled:
             from .params import jit_with_params
 
@@ -177,13 +182,24 @@ class Problem:
                                record=record)
 
             self._compiled[key] = jit_with_params(go, self.params)
-        return self._compiled[key](t0, y0, phi0)
+        state_f, outs, ok = self._compiled[key](t0, y0, phi0)
+        self._last_ok = ok
+        return state_f, outs
 
     def check_state(self, y, phi) -> None:
         """Failure detection (SURVEY.md §5 — the reference has none): raise
         with context if the solver state went non-finite (diverged RK4,
-        NaN preconditioner, ...)."""
+        NaN preconditioner, ...). The in-scan guard (``timestep.rk4_run``)
+        freezes the carry at the last finite state; its flag is checked
+        here, so a divergence inside a fused multi-step program is reported
+        even though the returned state itself stays finite."""
         from .profiling import check_finite
+        ok = getattr(self, "_last_ok", None)
+        if ok is not None and not bool(ok):
+            raise FloatingPointError(
+                "time integration diverged mid-scan: a non-finite RK4 stage "
+                "was detected and the state was frozen at the last finite "
+                "step (see timestep.rk4_run guard)")
         check_finite("free-surface state [eta; phi_fs]", y)
         check_finite("volume potential", phi)
 

@@ -657,21 +657,27 @@ class ShardedProblem:
                 return rhs(t, y, phi_own, tb, pmg_tbs, jinv_z, surf_pos,
                            surf_loc)
 
-            (t, y, phi), _ = rk4_run(f, y0, phi0, t0, dt, n_steps)
-            return t, y, phi[None]
+            # one shard's NaN must freeze every shard in the same step
+            ndev = self.ndev
+            g_red = lambda fin: self.fine._psum(fin.astype(jnp.int32)) == ndev
+            (t, y, phi), _, ok = rk4_run(f, y0, phi0, t0, dt, n_steps,
+                                         guard_reduce=g_red)
+            return t, y, phi[None], ok
 
         sh, rep = P("shard"), P()
         fn = jax.shard_map(
             device_fn, mesh=self.mesh,
             in_specs=(rep, rep, sh, sh, sh, sh, sh, sh),
-            out_specs=(rep, rep, sh),
+            out_specs=(rep, rep, sh, rep),
             check_vma=False,
         )
         fn = jax.jit(fn)
 
         def call(t0, y0, phi0):
-            return fn(t0, y0, phi0, self.fine.tables, pmg_tables, self.Jinv_z,
-                      self.surf_pos, self.surf_loc)
+            t, y, phi, ok = fn(t0, y0, phi0, self.fine.tables, pmg_tables,
+                               self.Jinv_z, self.surf_pos, self.surf_loc)
+            self._last_ok = ok
+            return t, y, phi
 
         self._compiled[key] = call
         return call(t0, y0, phi0)

@@ -47,17 +47,47 @@ def rk4_step(f: Callable, t, dt, y, aux):
 
 
 def rk4_run(f: Callable, y0, aux0, t0: float, dt: float, n_steps: int,
-            record: Callable | None = None):
+            record: Callable | None = None, guard: bool = True,
+            guard_reduce: Callable | None = None):
     """Scan ``n_steps`` RK4 steps. If ``record(t, y, aux)`` is given its
-    per-step outputs are stacked and returned as the second element."""
+    per-step outputs are stacked and returned as the second element.
+
+    Returns ``((t, y, aux), outs, ok)``. With ``guard=True`` (default) each
+    step's result is checked for finiteness inside the scan: once any step
+    produces a non-finite state, the carry FREEZES at the last finite
+    (t, y, aux) and ``ok`` comes back False — so a diverged CG stage cannot
+    silently contaminate the rest of a fused multi-step program, and the
+    last good state survives for checkpoint/diagnosis. The steady-state cost
+    is one elementwise ``isfinite`` pass per step (negligible next to the
+    four Laplace solves).
+
+    ``guard_reduce`` makes the per-step flag globally consistent under SPMD
+    (the sharded runner passes an all-reduce so one shard's NaN freezes every
+    shard in the same step; divergent freezes would desynchronize the
+    replicated surface state).
+    """
 
     def body(carry, _):
-        t, y, aux = carry
-        y, aux = rk4_step(f, t, dt, y, aux)
-        t = t + dt
+        t, y, aux, ok = carry
+        y_new, aux_new = rk4_step(f, t, dt, y, aux)
+        if guard:
+            fin = jnp.all(jnp.isfinite(y_new))
+            for leaf in jax.tree_util.tree_leaves(aux_new):
+                fin = jnp.logical_and(fin, jnp.all(jnp.isfinite(leaf)))
+            if guard_reduce is not None:
+                fin = guard_reduce(fin)
+            ok = jnp.logical_and(ok, fin)
+            y = jnp.where(ok, y_new, y)
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), aux_new, aux)
+            t = jnp.where(ok, t + dt, t)
+        else:
+            y, aux = y_new, aux_new
+            t = t + dt
         out = record(t, y, aux) if record is not None else None
-        return (t, y, aux), out
+        return (t, y, aux, ok), out
 
-    (t, y, aux), outs = jax.lax.scan(body, (jnp.asarray(t0, dtype=y0.dtype), y0, aux0),
-                                     None, length=n_steps)
-    return (t, y, aux), outs
+    carry0 = (jnp.asarray(t0, dtype=y0.dtype), y0, aux0,
+              jnp.asarray(True))
+    (t, y, aux, ok), outs = jax.lax.scan(body, carry0, None, length=n_steps)
+    return (t, y, aux), outs, ok

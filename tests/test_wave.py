@@ -79,3 +79,38 @@ def test_finite_tank_relaxation_smoke():
     assert np.max(np.abs(eta)) < 2.0 * prob.cfg.H
     # generation zone has begun producing a wave
     assert np.max(np.abs(eta)) > 1e-5 * prob.cfg.H
+
+
+def test_rk4_nan_freeze_preserves_last_finite_state():
+    """In-scan guard: a NaN mid-scan freezes the carry at the last finite
+    step instead of contaminating the rest of the fused program."""
+    import jax.numpy as jnp
+    from lpfem.timestep import rk4_run
+
+    def f(t, y, aux):
+        dy = jnp.where(t < 0.45, -y, jnp.nan)  # NaN stage from t >= 0.45
+        return dy, aux
+
+    y0 = jnp.ones(4)
+    aux0 = jnp.zeros(2)
+    (t, y, aux), _, ok = rk4_run(f, y0, aux0, 0.0, 0.1, 10)
+    assert not bool(ok)
+    assert np.all(np.isfinite(np.asarray(y)))
+    # the NaN first appears in the step 0.4 -> 0.5 (stage time 0.45):
+    # the carry must hold the 4-step state
+    (t4, y4, _), _, ok4 = rk4_run(f, y0, aux0, 0.0, 0.1, 4)
+    assert bool(ok4)
+    assert np.isclose(float(t), float(t4))
+    assert np.allclose(np.asarray(y), np.asarray(y4))
+
+
+def test_check_state_reports_in_scan_divergence():
+    from lpfem.configs import preset
+    from lpfem.problem import Problem
+
+    prob = Problem(preset("pf_linear_periodic", order=2, nsteps=4))
+    (t, y, phi), _ = prob.run(n_steps=2)
+    prob.check_state(y, phi)          # healthy run passes
+    prob._last_ok = np.bool_(False)   # simulate a frozen scan
+    with pytest.raises(FloatingPointError):
+        prob.check_state(y, phi)
