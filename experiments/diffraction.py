@@ -50,8 +50,13 @@ def main():
     ap.add_argument("--radius", type=float, default=0.5)
     ap.add_argument("--H", type=float, default=0.01)
     ap.add_argument("--precond", default="jacobi")
+    ap.add_argument("--apply-mode", default="pallas",
+                    help="pallas | fused | sumfact")
     ap.add_argument("--cheb-degree", type=int, default=3)
     ap.add_argument("--rim-tol", type=float, default=5e-3)
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="steps per dispatched program (the device watchdog "
+                         "kills single programs running >~5 min)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--rtol-sq", type=float, default=None,
@@ -92,7 +97,7 @@ def main():
                  wave_by="wavelength", wave_lambda=1.0, kh_override=1.0,
                  nsteps=args.nsteps, t_final_periods=args.periods,
                  cg_rtol_sq=args.rtol_sq, cg_atol_sq=atol_sq,
-                 cg_max_iter=600, dtype=args.dtype,
+                 cg_max_iter=600, dtype=args.dtype, apply_mode=args.apply_mode,
                  precond=args.precond, cheb_degree=args.cheb_degree)
     prob = Problem(cfg, mesh=mesh)
     wave = prob.wave
@@ -118,7 +123,7 @@ def main():
 
     # Chunked execution: one multi-minute XLA program trips the device
     # watchdog; ~50-step chunks keep each dispatch short and give progress.
-    chunk = 50
+    chunk = args.chunk
     t0_wall = time.perf_counter()
     t, y, phi = 0.0, y0, phi0
     ts_all, etas_all = [], []

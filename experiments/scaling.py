@@ -59,9 +59,14 @@ def main():
     out = args.out or f"data/{args.mode}-scaling.txt"
     note = ("virtual-device runs share one host CPU: they validate the SPMD "
             "protocol and shard-count-invariant physics, not hardware "
-            "speedup; run on a real TPU slice for ICI scaling")
+            "speedup; the comm columns model the expected real-slice cost")
     df = DataFile(out, "mode order par_ref shards dofs median_wall_s "
+                       "exchange NS halo_B_per_apply est_ici_us_per_apply "
                        "runs...  [" + (note if args.virtual_devices else "real devices") + "]")
+
+    # v5e ICI model: ~45 GB/s per direction per link, ~1 us collective launch
+    ICI_BW = 45e9
+    ICI_LAT = 1e-6
 
     for order in args.orders:
         for ns in args.shards:
@@ -78,8 +83,9 @@ def main():
             prob = Problem(cfg)
             sprob = ShardedProblem(prob, mesh=make_device_mesh(ns))
             y0, phi0 = prob.initial_state()
-            # warm-up (excluded, ss.cpp:254) — also compiles
-            sprob.run(n_steps=1, state=(y0, phi0))
+            # warm-up (excluded, ss.cpp:254) — also compiles; block so the
+            # first timed repeat doesn't absorb leftover device work
+            jax.block_until_ready(sprob.run(n_steps=1, state=(y0, phi0)))
             walls = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
@@ -87,10 +93,30 @@ def main():
                 jax.block_until_ready(y)
                 walls.append(time.perf_counter() - t0)
             med = float(np.median(walls))
+
+            # ---- communication accounting (per operator apply) ----
+            # one gather + one assemble per apply; ppermute moves each
+            # device's O(|S|/shards) boundary segment one hop, psum
+            # all-reduces the whole |S|+1 buffer around the ring
+            itemsize = np.dtype(args.dtype).itemsize
+            NS = sprob.pt.NS
+            ex = sprob.fine.exchange
+            if ex == "ppermute":
+                seg = max(getattr(sprob.fine, "Wf", 0),
+                          getattr(sprob.fine, "Ww", 0))
+                halo_bytes = 2 * seg * itemsize
+                est_us = 2 * (halo_bytes / ICI_BW + ICI_LAT) * 1e6
+            else:
+                halo_bytes = 2 * (NS + 1) * itemsize
+                ring = 2 * (ns - 1) / max(ns, 1)
+                est_us = 2 * (ring * (NS + 1) * itemsize / ICI_BW
+                              + ns * ICI_LAT) * 1e6
             df.append(args.mode, order, par_ref, ns, prob.space.n_dofs, med,
+                      ex, NS, halo_bytes, round(est_us, 2),
                       *[round(w, 4) for w in walls])
             print(f"{args.mode} order={order} shards={ns} dofs={prob.space.n_dofs} "
-                  f"median={med:.3f}s runs={['%.3f' % w for w in walls]}")
+                  f"median={med:.3f}s exchange={ex} NS={NS} "
+                  f"halo_B/apply={halo_bytes} est_ici_us/apply={est_us:.2f}")
 
 
 if __name__ == "__main__":

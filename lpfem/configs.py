@@ -57,6 +57,11 @@ class Config:
     cg_max_iter: int = 400
     precond: str = "jacobi"              # jacobi | chebyshev | pmg
     cheb_degree: int = 3                 # smoother degree (chebyshev / pmg)
+    # ---- distributed runtime ----
+    shard_exchange: str = "auto"         # auto | ppermute | psum: interface
+                                         # halo exchange as neighbor ppermute
+                                         # (slab partitions; O(|S|/ndev) per-
+                                         # device traffic) or global psum
     # ---- relaxation zones ----
     relax: bool = False
     Ng: float = 2.0                      # generation zone length, wavelengths

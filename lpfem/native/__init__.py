@@ -18,11 +18,20 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
-_SO = os.path.join(_HERE, "liblpfem_native.so")
 _SRC = os.path.join(_HERE, "dofs.cpp")
 
 _lib = None
 _tried = False
+
+
+def _so_path() -> str:
+    """Library path keyed by a hash of the source: a stale binary (e.g. from
+    a fresh clone where checkout mtimes are meaningless) can never be loaded
+    against a newer dofs.cpp."""
+    import hashlib
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"liblpfem_native-{h}.so")
 
 
 def _load():
@@ -31,13 +40,13 @@ def _load():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        so = _so_path()
+        if not os.path.exists(so):
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", _SO],
+                 "-o", so],
                 check=True, capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.lpfem_build_hex_dofs.restype = ctypes.c_int64
         lib.lpfem_build_hex_dofs.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,

@@ -96,6 +96,7 @@ class Partition:
             # is interface whenever any toucher differs from the owner
             owner = np.asarray(owner)
         self.owner = owner
+        self.pmin, self.pmax = pmin, pmax
         iface = (pmin != owner) | (pmax != owner)
         self.n_iface = int(iface.sum())
 
@@ -150,6 +151,7 @@ class Partition:
             own_if_loc_l.append(loc_of_dof[o_ids])
 
         self.local_elem_dofs = led.astype(np.int32)
+        self.elem_dofs_global = ed            # reference, not a copy
         NIo_max = max(max((len(a) for a in own_if_pos_l), default=0), 1)
         oip = np.full((ndev, NIo_max), NS, dtype=np.int64)
         oil = np.full((ndev, NIo_max), N_max, dtype=np.int64)
@@ -196,7 +198,8 @@ class ShardedExchange:
     layout — see :class:`ShardedPMG`).
     """
 
-    def __init__(self, pt: Partition, axis: str = "shard"):
+    def __init__(self, pt: Partition, axis: str = "shard",
+                 exchange: str = "auto"):
         self.pt = pt
         self.axis = axis
         # pad the halo segment to >=1 so zero-halo (single-shard) partitions
@@ -208,12 +211,134 @@ class ShardedExchange:
             "oil": jnp.asarray(pt.own_if_loc),
             "hp": jnp.asarray(pt.halo_pos),
         }
+        self.exchange = "psum"
+        if exchange in ("auto", "ppermute") and self._build_neighbor_tables():
+            self.exchange = "ppermute"
+        elif exchange == "ppermute":
+            raise ValueError("partition is not neighbor-only; ppermute "
+                             "exchange unavailable (use 'auto' or 'psum')")
+
+    def _build_neighbor_tables(self) -> bool:
+        """Neighbor (ppermute) exchange tables for slab partitions.
+
+        Valid when every interface dof is shared by exactly TWO ring-adjacent
+        devices: owner d with toucher d+1 ('forward' seams), or owner 0 with
+        toucher ndev-1 (the periodic wrap seam — still one ICI hop on a TPU
+        ring). Halo values then flow as ppermutes of each device's
+        O(|S|/ndev) boundary segments instead of a psum of the whole O(|S|)
+        interface buffer — per-device traffic drops ~ndev-fold and latency
+        is one hop instead of a reduction ring (the MPI-neighbor-exchange
+        analogue of hypre's ParCSR comm package, vs the reference's
+        Allreduce; ss.cpp:271-276). Falls back to psum when invalid.
+        """
+        pt = self.pt
+        ndev = pt.ndev
+        if ndev == 1:
+            return False
+        pmin, pmax, owner = pt.pmin, pt.pmax, pt.owner
+        n = len(owner)
+        iface = (pmin != owner) | (pmax != owner)
+        ids = np.where(iface)[0]
+        if len(ids) == 0:
+            return False
+        # distinct toucher count per dof
+        space_ed = pt.elem_dofs_global
+        n_touch = np.zeros(n, dtype=np.int64)
+        for d, es in enumerate(pt.elems_of):
+            n_touch[np.unique(space_ed[es])] += 1
+        fwd = (n_touch[ids] == 2) & (pmax[ids] == pmin[ids] + 1) \
+            & (owner[ids] == pmin[ids])
+        wrap = (n_touch[ids] == 2) & (pmin[ids] == 0) \
+            & (pmax[ids] == ndev - 1) & (owner[ids] == 0) & (ndev > 2)
+        if not np.all(fwd | wrap):
+            return False
+        ids_f, ids_w = ids[fwd], ids[wrap]
+
+        def seg_tables(seg_ids, src_of):
+            """sender gather table [ndev, W_max] of owner-local indices,
+            per-device sorted by global dof id."""
+            W = np.bincount(src_of[seg_ids], minlength=ndev)
+            W_max = max(int(W.max()), 1)
+            g = np.full((ndev, W_max), pt.N_max, dtype=np.int64)
+            for d in range(ndev):
+                own_ids = np.sort(seg_ids[src_of[seg_ids] == d])
+                g[d, : len(own_ids)] = pt.loc_of_dof[own_ids]
+            return g, W_max
+
+        gsl_f, Wf = seg_tables(ids_f, owner)
+        gsl_w, Ww = seg_tables(ids_w, owner)
+
+        # receiver: map each halo slot to its position in the concat
+        # [recv_fwd(Wf), recv_wrap(Ww), trash(1)] buffer
+        hr = np.full((self.pt.ndev, max(pt.H_max, 1)), Wf + Ww, dtype=np.int64)
+        rank_f = np.full(n, -1, dtype=np.int64)
+        rank_w = np.full(n, -1, dtype=np.int64)
+        for d in range(ndev):
+            sf = np.sort(ids_f[owner[ids_f] == d])
+            rank_f[sf] = np.arange(len(sf))
+            sw = np.sort(ids_w[owner[ids_w] == d])
+            rank_w[sw] = np.arange(len(sw))
+        for d, es in enumerate(pt.elems_of):
+            dofs = np.unique(space_ed[es])
+            halo_ids = dofs[owner[dofs] != d]            # sorted (unique)
+            is_f = np.isin(halo_ids, ids_f)
+            pos = np.where(is_f, rank_f[halo_ids], Wf + rank_w[halo_ids])
+            # sanity: fwd halos come from d-1, wrap halos only on ndev-1
+            if np.any(is_f & (owner[halo_ids] != d - 1)):
+                return False
+            if np.any(~is_f & ((owner[halo_ids] != 0) | (d != ndev - 1))):
+                return False
+            hr[d, : len(halo_ids)] = pos
+        # sender-side scatter for assemble (reverse direction): position of
+        # each sent dof inside the sender's halo segment (trash -> the
+        # appended zero at index H_max)
+        hs_f = np.full((ndev, Wf), self.H_max, dtype=np.int64)
+        hs_w = np.full((ndev, Ww), self.H_max, dtype=np.int64)
+        for d, es in enumerate(pt.elems_of):
+            dofs = np.unique(space_ed[es])
+            halo_ids = dofs[owner[dofs] != d]
+            slot = {g: i for i, g in enumerate(halo_ids)}
+            # dofs this device holds as halo, grouped by destination owner
+            hf = halo_ids[np.isin(halo_ids, ids_f)]       # owner d-1
+            for i, g in enumerate(np.sort(hf)):
+                hs_f[d, i] = slot[g]
+            hw = halo_ids[np.isin(halo_ids, ids_w)]       # owner 0 (d=ndev-1)
+            for i, g in enumerate(np.sort(hw)):
+                hs_w[d, i] = slot[g]
+        self.Wf, self.Ww = Wf, Ww
+        self.tables.update({
+            "gslf": jnp.asarray(gsl_f.astype(np.int32)),
+            "gslw": jnp.asarray(gsl_w.astype(np.int32)),
+            "hr": jnp.asarray(hr.astype(np.int32)),
+            "hsf": jnp.asarray(hs_f.astype(np.int32)),
+            "hsw": jnp.asarray(hs_w.astype(np.int32)),
+        })
+        return True
 
     # ---- device-side primitives (tb = per-device slice of self.tables) ----
     def _psum(self, x):
         return jax.lax.psum(x, self.axis)
 
+    def _perm(self, kind: str):
+        ndev = self.pt.ndev
+        if kind == "fwd":                 # owner d -> toucher d+1
+            return [(d, d + 1) for d in range(ndev - 1)]
+        if kind == "fwd_rev":
+            return [(d, d - 1) for d in range(1, ndev)]
+        if kind == "wrap":                # owner 0 -> toucher ndev-1
+            return [(0, ndev - 1)]
+        return [(ndev - 1, 0)]            # wrap_rev
+
     def gather_loc(self, tb, x_own):
+        if self.exchange == "ppermute":
+            rf = jax.lax.ppermute(x_own[tb["gslf"]], self.axis,
+                                  self._perm("fwd"))
+            rw = jax.lax.ppermute(x_own[tb["gslw"]], self.axis,
+                                  self._perm("wrap"))
+            buf = jnp.concatenate([rf, rw, jnp.zeros(1, dtype=x_own.dtype)])
+            halo = buf[tb["hr"]]
+            return jnp.concatenate([x_own, halo,
+                                    jnp.zeros(1, dtype=x_own.dtype)])
         buf = jnp.zeros(self.NS + 1, dtype=x_own.dtype)
         buf = buf.at[tb["oip"]].set(x_own[tb["oil"]])
         buf = self._psum(buf)
@@ -223,6 +348,14 @@ class ShardedExchange:
     def assemble_own(self, tb, y_loc):
         y_own = y_loc[: self.N_max + 1]
         y_halo = y_loc[self.N_max + 1: self.N_max + 1 + self.H_max]
+        if self.exchange == "ppermute":
+            yh = jnp.concatenate([y_halo, jnp.zeros(1, dtype=y_loc.dtype)])
+            rf = jax.lax.ppermute(yh[tb["hsf"]], self.axis,
+                                  self._perm("fwd_rev"))
+            rw = jax.lax.ppermute(yh[tb["hsw"]], self.axis,
+                                  self._perm("wrap_rev"))
+            y_own = y_own.at[tb["gslf"]].add(rf).at[tb["gslw"]].add(rw)
+            return y_own.at[self.N_max].set(0.0)
         buf = jnp.zeros(self.NS + 1, dtype=y_loc.dtype)
         buf = buf.at[tb["hp"]].add(y_halo)
         buf = self._psum(buf)
@@ -249,8 +382,9 @@ class ShardedLevel(ShardedExchange):
     """
 
     def __init__(self, op: LaplacePA, pt: Partition,
-                 ess_dofs: np.ndarray, axis: str = "shard"):
-        super().__init__(pt, axis)
+                 ess_dofs: np.ndarray, axis: str = "shard",
+                 exchange: str = "auto"):
+        super().__init__(pt, axis, exchange)
         self.op = op
         self.Q = op.q ** 3
         self.Jr2 = op.Jr.reshape(3 * self.Q, -1)
@@ -365,7 +499,7 @@ class ShardedPMG:
 
     def __init__(self, prob: Problem, pt_fine: Partition, ndev: int,
                  smooth_degree: int = 3, coarse_cheb_degree: int = 16,
-                 h_coarsen_min_dofs: int = 20000):
+                 h_coarsen_min_dofs: int = 20000, exchange: str = "auto"):
         from .multigrid import (_coarsen_structured_mesh, _interp_1d,
                                 _top_plane_dofs, estimate_lmax)
         from .params import BigParams
@@ -403,7 +537,7 @@ class ShardedPMG:
                 op = LaplacePA(sp, dtype=dtype, mode="fused")
                 pt = Partition(sp, ndev, part=pt_fine.part)
                 ess = sp.boundary_dofs(2)
-            self.levels.append(ShardedLevel(op, pt, ess))
+            self.levels.append(ShardedLevel(op, pt, ess, exchange=exchange))
             self.ess_list.append(ess)
             if li > 0:
                 self.transfers.append(_ShardedTransfer(
@@ -437,7 +571,7 @@ class ShardedPMG:
             pt_c = Partition(sp_c, ndev, part=part_c)
             op_c = LaplacePA(sp_c, dtype=dtype, mode="fused")
             ess_c = _top_plane_dofs(sp_c.struct)
-            lvl_c = ShardedLevel(op_c, pt_c, ess_c)
+            lvl_c = ShardedLevel(op_c, pt_c, ess_c, exchange=exchange)
             # 'via' p=2 exchange on the half mesh, dof layout inherited from
             # the bottom level (identical global lattice numbering)
             pt_via = Partition(hs, ndev, part=part_c, owner=bot.pt.owner)
@@ -517,7 +651,8 @@ class ShardedProblem:
         self.dtype = dtype
 
         ess_fine = np.asarray(prob.surf.surf_to_vol)
-        self.fine = ShardedLevel(op, pt, ess_fine)
+        exchange = getattr(prob.cfg, "shard_exchange", "auto")
+        self.fine = ShardedLevel(op, pt, ess_fine, exchange=exchange)
         self.N_max = pt.N_max
 
         self.pmg = None
