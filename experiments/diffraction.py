@@ -34,10 +34,10 @@ def main():
     ap.add_argument("--order", type=int, default=4)
     ap.add_argument("--nsteps", type=int, default=350)
     ap.add_argument("--periods", type=float, default=10.0)
-    ap.add_argument("--n-theta", type=int, default=64)
+    ap.add_argument("--n-theta", type=int, default=96)
     ap.add_argument("--n-r", type=int, default=16,
                     help="radial layers (ignored when --dr-max is set)")
-    ap.add_argument("--dr-max", type=float, default=0.35,
+    ap.add_argument("--dr-max", type=float, default=0.25,
                     help="cap on radial layer width in wavelengths; the "
                          "far field must resolve the propagating wave "
                          "(reference half mesh: ~0.5 background spacing). "
@@ -49,12 +49,12 @@ def main():
                     help="cylinder center y (4.0 for the committed half mesh)")
     ap.add_argument("--radius", type=float, default=0.5)
     ap.add_argument("--H", type=float, default=0.01)
-    ap.add_argument("--precond", default="jacobi")
+    ap.add_argument("--precond", default="pmg")
     ap.add_argument("--apply-mode", default="pallas",
                     help="pallas | fused | sumfact")
     ap.add_argument("--cheb-degree", type=int, default=3)
     ap.add_argument("--rim-tol", type=float, default=5e-3)
-    ap.add_argument("--chunk", type=int, default=50,
+    ap.add_argument("--chunk", type=int, default=25,
                     help="steps per dispatched program (the device watchdog "
                          "kills single programs running >~5 min)")
     ap.add_argument("--quick", action="store_true")

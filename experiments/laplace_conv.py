@@ -23,19 +23,28 @@ import time
 import numpy as np
 
 
-def run_case(mesh, order, wave, rtol_sq, max_iter, precond="pmg"):
+def run_case(mesh, order, wave, rtol_sq, max_iter, precond="pmg",
+             dtype="float64"):
+    """One stationary solve. ``dtype``:
+    - float64: everything double (the MFEM configuration)
+    - float32: everything single (the raw TPU speed path)
+    - mixed:   f32 operator + preconditioner, f64 outer residuals
+               (iterative refinement; hits f64 floors at near-f32 speed —
+               the 'matching MFEM accuracy on chip' configuration)
+    """
     import jax
     import jax.numpy as jnp
     from lpfem.space import H1Space, SurfaceSpace
     from lpfem.operators import LaplacePA
-    from lpfem.solvers import pcg
+    from lpfem.solvers import pcg, pcg_refined
 
     sp = H1Space(mesh, order)
-    op = LaplacePA(sp)
+    jt = jnp.float32 if dtype == "float32" else jnp.float64
+    op = LaplacePA(sp, dtype=jt if dtype != "mixed" else jnp.float32)
     surf = SurfaceSpace(sp, attr=2)
     ess = jnp.asarray(surf.surf_to_vol.astype(np.int32))
-    phi_fs = jnp.asarray(surf.project(lambda x, y, z: wave.phi(x, y, z)))
-    B, x0 = op.constrained_rhs(jnp.zeros(sp.n_dofs), ess, phi_fs)
+    phi_fs = jnp.asarray(surf.project(lambda x, y, z: wave.phi(x, y, z)),
+                         dtype=jt)
 
     if precond == "pmg" and order > 1:
         from lpfem.multigrid import PMultigrid
@@ -44,15 +53,30 @@ def run_case(mesh, order, wave, rtol_sq, max_iter, precond="pmg"):
         inv_diag = 1.0 / op.diag.at[ess].set(1.0)
         pre = lambda r: r * inv_diag
 
-    t0 = time.perf_counter()
-    res = pcg(lambda v: op.constrained_apply(v, ess), B, x0, precond_fn=pre,
-              rtol_sq=rtol_sq, max_iter=max_iter)
-    jax.block_until_ready(res.x)
-    wall = time.perf_counter() - t0
+    if dtype == "mixed":
+        op64 = LaplacePA(sp, dtype=jnp.float64, mode="fused")
+        B, x0 = op64.constrained_rhs(jnp.zeros(sp.n_dofs, dtype=jnp.float64),
+                                     ess, phi_fs)
+        apply_hi = jax.jit(lambda v: op64.constrained_apply(v, ess))
+        apply_lo = jax.jit(lambda v: op.constrained_apply(v, ess))
+        t0 = time.perf_counter()
+        res = pcg_refined(apply_hi, apply_lo, B, x0, precond_lo=pre,
+                          rtol_sq=rtol_sq, inner_max_iter=max_iter)
+        jax.block_until_ready(res.x)
+        wall = time.perf_counter() - t0
+    else:
+        B, x0 = op.constrained_rhs(jnp.zeros(sp.n_dofs, dtype=jt), ess, phi_fs)
+        t0 = time.perf_counter()
+        res = pcg(lambda v: op.constrained_apply(v, ess), B, x0,
+                  precond_fn=pre, rtol_sq=rtol_sq, max_iter=max_iter)
+        jax.block_until_ready(res.x)
+        wall = time.perf_counter() - t0
 
     phi_ex = sp.project(lambda x, y, z: wave.phi(x, y, z))
     err_inf = float(np.max(np.abs(np.asarray(res.x) - phi_ex)))
-    err_l2 = float(op.l2_error(res.x, lambda x, y, z: wave.phi(x, y, z)))
+    l2op = op if dtype != "mixed" else op64
+    err_l2 = float(l2op.l2_error(res.x.astype(l2op.dtype),
+                                 lambda x, y, z: wave.phi(x, y, z)))
     return dict(dofs=sp.n_dofs, iters=int(res.iters), err_inf=err_inf,
                 err_l2=err_l2, wall=wall)
 
@@ -69,6 +93,8 @@ def main():
     ap.add_argument("--rtol-sq", type=float, default=1e-24)
     ap.add_argument("--max-iter", type=int, default=2000)
     ap.add_argument("--precond", default="pmg")
+    ap.add_argument("--dtype", default="float64",
+                    choices=["float64", "float32", "mixed"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -85,7 +111,8 @@ def main():
         out = args.out or "data/laplace-pconv-phi.txt"
         df = DataFile(out, "order dofs err_inf err_l2 iters wall_s")
         for p in range(1, args.max_order + 1):
-            r = run_case(base, p, wave, args.rtol_sq, args.max_iter, args.precond)
+            r = run_case(base, p, wave, args.rtol_sq, args.max_iter,
+                         args.precond, dtype=args.dtype)
             df.append(p, r["dofs"], r["err_inf"], r["err_l2"], r["iters"], r["wall"])
             print(f"p={p:2d} dofs={r['dofs']:8d} err_inf={r['err_inf']:.3e} "
                   f"err_l2={r['err_l2']:.3e} iters={r['iters']} wall={r['wall']:.2f}s")
@@ -95,7 +122,7 @@ def main():
         mesh = base
         for ref in range(args.refs + 1):
             r = run_case(mesh, args.order, wave, args.rtol_sq, args.max_iter,
-                         args.precond)
+                         args.precond, dtype=args.dtype)
             df.append(ref, args.order, r["dofs"], r["err_inf"], r["err_l2"],
                       r["iters"], r["wall"])
             print(f"ref={ref} dofs={r['dofs']:8d} err_inf={r['err_inf']:.3e} "
