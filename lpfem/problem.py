@@ -68,7 +68,11 @@ def build_wave(cfg: Config, mesh: Mesh) -> AiryWave:
 class Problem:
     """A fully assembled LPF wave problem (single device)."""
 
-    def __init__(self, cfg: Config, mesh: Mesh | None = None):
+    def __init__(self, cfg: Config, mesh: Mesh | None = None,
+                 build_precond: bool = True):
+        """``build_precond=False`` skips the single-device preconditioner
+        (and its setup-time power iterations) — used by the sharded runner,
+        which builds its own sharded hierarchy instead."""
         self.cfg = cfg
         self.dtype = jnp.dtype(cfg.dtype)
         self.mesh = mesh if mesh is not None else build_mesh(cfg)
@@ -95,7 +99,9 @@ class Problem:
         self.relax = relax
 
         precond_fn = None
-        if cfg.precond == "pmg":
+        if not build_precond:
+            pass
+        elif cfg.precond == "pmg":
             from .multigrid import PMultigrid
             precond_fn = PMultigrid(self.op, smooth_degree=cfg.cheb_degree,
                                     ess_dofs=np.asarray(self.surf.surf_to_vol))

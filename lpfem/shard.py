@@ -59,6 +59,23 @@ def make_device_mesh(n_dev: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), ("shard",))
 
 
+def sharded_put(mesh: Mesh):
+    """Placer for [ndev, ...] stacked tables: each device receives ONLY its
+    slice (``jax.device_put`` with a leading-axis NamedSharding). Without
+    this, ``jnp.asarray`` commits the whole stacked array to the default
+    device first — which caps the sharded path at one device's memory and
+    defeats domain decomposition (the reference's ParMesh never holds the
+    global problem on one rank, ``Solvers/laplace_solver_parallel.cpp:76-78``).
+    """
+    from jax.sharding import NamedSharding
+    ns = NamedSharding(mesh, P("shard"))
+
+    def put(a):
+        return jax.device_put(np.asarray(a), ns)
+
+    return put
+
+
 class Partition:
     """Host-side partition tables for an :class:`H1Space` over ``ndev`` shards.
 
@@ -199,17 +216,18 @@ class ShardedExchange:
     """
 
     def __init__(self, pt: Partition, axis: str = "shard",
-                 exchange: str = "auto"):
+                 exchange: str = "auto", put=None):
         self.pt = pt
         self.axis = axis
+        self._put = put if put is not None else jnp.asarray
         # pad the halo segment to >=1 so zero-halo (single-shard) partitions
         # keep static shapes consistent with the [ndev, max(H_max,1)] tables
         self.N_max, self.H_max, self.NS = pt.N_max, max(pt.H_max, 1), pt.NS
         self.tables = {
-            "led": jnp.asarray(pt.local_elem_dofs),
-            "oip": jnp.asarray(pt.own_if_pos),
-            "oil": jnp.asarray(pt.own_if_loc),
-            "hp": jnp.asarray(pt.halo_pos),
+            "led": self._put(pt.local_elem_dofs),
+            "oip": self._put(pt.own_if_pos),
+            "oil": self._put(pt.own_if_loc),
+            "hp": self._put(pt.halo_pos),
         }
         self.exchange = "psum"
         if exchange in ("auto", "ppermute") and self._build_neighbor_tables():
@@ -307,11 +325,11 @@ class ShardedExchange:
                 hs_w[d, i] = slot[g]
         self.Wf, self.Ww = Wf, Ww
         self.tables.update({
-            "gslf": jnp.asarray(gsl_f.astype(np.int32)),
-            "gslw": jnp.asarray(gsl_w.astype(np.int32)),
-            "hr": jnp.asarray(hr.astype(np.int32)),
-            "hsf": jnp.asarray(hs_f.astype(np.int32)),
-            "hsw": jnp.asarray(hs_w.astype(np.int32)),
+            "gslf": self._put(gsl_f.astype(np.int32)),
+            "gslw": self._put(gsl_w.astype(np.int32)),
+            "hr": self._put(hr.astype(np.int32)),
+            "hsf": self._put(hs_f.astype(np.int32)),
+            "hsw": self._put(hs_w.astype(np.int32)),
         })
         return True
 
@@ -383,8 +401,8 @@ class ShardedLevel(ShardedExchange):
 
     def __init__(self, op: LaplacePA, pt: Partition,
                  ess_dofs: np.ndarray, axis: str = "shard",
-                 exchange: str = "auto"):
-        super().__init__(pt, axis, exchange)
+                 exchange: str = "auto", put=None):
+        super().__init__(pt, axis, exchange, put)
         self.op = op
         self.Q = op.q ** 3
         self.Jr2 = op.Jr.reshape(3 * self.Q, -1)
@@ -399,11 +417,12 @@ class ShardedLevel(ShardedExchange):
         mstack = pt.stack_dof(op.space.node_mult, fill=1.0)
         mstack[:, pt.N_max] = 1.0
 
+        npdt = np.dtype(dtype)
         self.tables.update({
-            "G": jnp.asarray(pt.stack_elem(np.asarray(op.G)), dtype=dtype),
-            "ess": jnp.asarray(pt.stack_dof(ess_mask_g), dtype=dtype),
-            "invd": jnp.asarray(1.0 / dstack, dtype=dtype),
-            "invm": jnp.asarray(1.0 / mstack, dtype=dtype),
+            "G": self._put(pt.stack_elem(np.asarray(op.G)).astype(npdt)),
+            "ess": self._put(pt.stack_dof(ess_mask_g).astype(npdt)),
+            "invd": self._put((1.0 / dstack).astype(npdt)),
+            "invm": self._put((1.0 / mstack).astype(npdt)),
         })
 
     def apply_own(self, tb, x_own):
@@ -490,6 +509,31 @@ class _ShardedTransfer:
         return rc * (1.0 - tbc["ess"])
 
 
+def _estimate_lmax_sharded(lv: "ShardedLevel", device_mesh: Mesh,
+                           iters: int = 20, safety: float = 1.1) -> float:
+    """Power-iteration estimate of lambda_max(D^-1 A) through the SHARDED
+    operator: one shard_map'd step, iterated from the host. No full-size
+    vector or apply ever exists on a single device."""
+    sh, rep = P("shard"), P()
+
+    def step(v, tb):
+        tb = jax.tree.map(lambda a: a[0], tb)
+        w = lv.apply_c(tb, v[0]) * tb["invd"]
+        lam = jnp.sqrt(lv.pdot(w, w))
+        return (w / lam)[None], lam
+
+    fn = jax.jit(jax.shard_map(step, mesh=device_mesh, in_specs=(sh, sh),
+                               out_specs=(sh, rep), check_vma=False))
+    rng = np.random.default_rng(0)
+    v0 = lv.pt.stack_dof(
+        rng.standard_normal(len(lv.pt.owner)).astype(np.dtype(lv.op.dtype)))
+    v = lv._put(v0)
+    lam = 1.0
+    for _ in range(iters):
+        v, lam = fn(v, lv.tables)
+    return float(lam) * safety
+
+
 class ShardedPMG:
     """Sharded multigrid V-cycle: p-coarsening levels over one element
     partition, then h-coarsening below p=1 on per-level partitions derived
@@ -499,7 +543,9 @@ class ShardedPMG:
 
     def __init__(self, prob: Problem, pt_fine: Partition, ndev: int,
                  smooth_degree: int = 3, coarse_cheb_degree: int = 16,
-                 h_coarsen_min_dofs: int = 20000, exchange: str = "auto"):
+                 h_coarsen_min_dofs: int = 20000, exchange: str = "auto",
+                 put=None, device_mesh: Mesh | None = None,
+                 lmax_mode: str = "host"):
         from .multigrid import (_coarsen_structured_mesh, _interp_1d,
                                 _top_plane_dofs, estimate_lmax)
         from .params import BigParams
@@ -537,7 +583,8 @@ class ShardedPMG:
                 op = LaplacePA(sp, dtype=dtype, mode="fused")
                 pt = Partition(sp, ndev, part=pt_fine.part)
                 ess = sp.boundary_dofs(2)
-            self.levels.append(ShardedLevel(op, pt, ess, exchange=exchange))
+            self.levels.append(ShardedLevel(op, pt, ess, exchange=exchange,
+                                            put=put))
             self.ess_list.append(ess)
             if li > 0:
                 self.transfers.append(_ShardedTransfer(
@@ -571,35 +618,44 @@ class ShardedPMG:
             pt_c = Partition(sp_c, ndev, part=part_c)
             op_c = LaplacePA(sp_c, dtype=dtype, mode="fused")
             ess_c = _top_plane_dofs(sp_c.struct)
-            lvl_c = ShardedLevel(op_c, pt_c, ess_c, exchange=exchange)
+            lvl_c = ShardedLevel(op_c, pt_c, ess_c, exchange=exchange,
+                                 put=put)
             # 'via' p=2 exchange on the half mesh, dof layout inherited from
             # the bottom level (identical global lattice numbering)
             pt_via = Partition(hs, ndev, part=part_c, owner=bot.pt.owner)
             assert pt_via.N_max == bot.pt.N_max
-            via = ShardedExchange(pt_via)
+            via = ShardedExchange(pt_via, put=put)
             mstack = pt_via.stack_dof(np.asarray(hs.node_mult, dtype=np.float64),
                                       fill=1.0)
             mstack[:, pt_via.N_max] = 1.0
-            via.tables["invm"] = jnp.asarray(1.0 / mstack, dtype=dtype)
+            via.tables["invm"] = via._put((1.0 / mstack).astype(np.dtype(dtype)))
             self.transfers.append(_ShardedTransfer(_I3(1, 2), bot, lvl_c,
                                                    via=via))
             self.levels.append(lvl_c)
             self.ess_list.append(ess_c)
             self.orders = self.orders + [1]
 
-        # eigenvalue estimates on the single-device operators (same spectra);
-        # big operator buffers are threaded as jit arguments (lpfem.params),
-        # not HLO constants — the compile-payload cap applies here too
+        # eigenvalue estimates. lmax_mode='host': on the single-device
+        # operators (same spectra), with big buffers threaded as jit
+        # arguments (lpfem.params) — the compile-payload cap applies here
+        # too. lmax_mode='sharded': power-iterate the SHARDED operator over
+        # the device mesh, so setup never runs a full-size apply on one
+        # device (the decentralized-setup path).
         self.lmax = []
-        for lv, ess in zip(self.levels, self.ess_list):
-            op = lv.op
-            essj = jnp.asarray(np.asarray(ess).astype(np.int32))
-            inv_diag = 1.0 / op.diag.at[essj].set(1.0)
-            bp = BigParams()
-            op.register_params(bp)
-            self.lmax.append(estimate_lmax(
-                lambda v: op.constrained_apply(v, essj), inv_diag,
-                op.n_dofs, dtype=op.dtype, params=bp))
+        if lmax_mode == "sharded":
+            assert device_mesh is not None
+            for lv in self.levels:
+                self.lmax.append(_estimate_lmax_sharded(lv, device_mesh))
+        else:
+            for lv, ess in zip(self.levels, self.ess_list):
+                op = lv.op
+                essj = jnp.asarray(np.asarray(ess).astype(np.int32))
+                inv_diag = 1.0 / op.diag.at[essj].set(1.0)
+                bp = BigParams()
+                op.register_params(bp)
+                self.lmax.append(estimate_lmax(
+                    lambda v: op.constrained_apply(v, essj), inv_diag,
+                    op.n_dofs, dtype=op.dtype, params=bp))
         self.smoothers = [
             _ShardedChebyshev(lv, lm, degree=smooth_degree)
             for lv, lm in zip(self.levels, self.lmax)]
@@ -638,7 +694,12 @@ class ShardedProblem:
     """
 
     def __init__(self, prob: Problem, mesh: Mesh | None = None,
-                 n_dev: int | None = None):
+                 n_dev: int | None = None, place: bool = True,
+                 lmax_mode: str = "host"):
+        """``place=True`` (default) device_puts every [ndev, ...] table with
+        a leading-axis NamedSharding, so each device only ever holds its own
+        slice. ``lmax_mode='sharded'`` estimates smoother eigenvalues through
+        the sharded operator (see :func:`_estimate_lmax_sharded`)."""
         self.prob = prob
         self.mesh = mesh if mesh is not None else make_device_mesh(n_dev)
         ndev = self.mesh.devices.size
@@ -649,21 +710,25 @@ class ShardedProblem:
         self.pt = pt
         dtype = op.dtype
         self.dtype = dtype
+        put = sharded_put(self.mesh) if place else jnp.asarray
+        self._table_put = put
 
         ess_fine = np.asarray(prob.surf.surf_to_vol)
         exchange = getattr(prob.cfg, "shard_exchange", "auto")
-        self.fine = ShardedLevel(op, pt, ess_fine, exchange=exchange)
+        self.fine = ShardedLevel(op, pt, ess_fine, exchange=exchange, put=put)
         self.N_max = pt.N_max
 
         self.pmg = None
         if prob.cfg.precond == "pmg" and sp.p > 1:
             self.pmg = ShardedPMG(prob, pt, ndev,
-                                  smooth_degree=prob.cfg.cheb_degree)
+                                  smooth_degree=prob.cfg.cheb_degree,
+                                  exchange=exchange, put=put,
+                                  device_mesh=self.mesh, lmax_mode=lmax_mode)
 
         # ---- z-derivative tables ----
         zd = prob.fso.zderiv
-        self.Jinv_z = jnp.asarray(pt.stack_elem(np.asarray(zd.Jinv_z)),
-                                  dtype=dtype)
+        npdt = np.dtype(dtype)
+        self.Jinv_z = put(pt.stack_elem(np.asarray(zd.Jinv_z)).astype(npdt))
         self.Dn = zd.Dn
         self.p1 = sp.p + 1
 
@@ -679,8 +744,33 @@ class ShardedProblem:
             sel = np.where(sp_owner == d)[0]
             spos[d, : len(sel)] = sel
             sloc[d, : len(sel)] = pt.loc_of_dof[s2v[sel]]
-        self.surf_pos = jnp.asarray(spos.astype(np.int32))
-        self.surf_loc = jnp.asarray(sloc.astype(np.int32))
+        self.surf_pos = put(spos.astype(np.int32))
+        self.surf_loc = put(sloc.astype(np.int32))
+
+    @classmethod
+    def from_config(cls, cfg, mesh: "Mesh | None" = None,
+                    device_mesh: Mesh | None = None, problem_mesh=None):
+        """Decentralized setup: build the problem WITHOUT materializing any
+        full-size array on an accelerator device.
+
+        All setup compute (geometric factors, operator diagonals, dof
+        numbering) runs on the host CPU backend; the per-shard tables are
+        then placed directly onto their devices (``sharded_put``), and the
+        smoother eigenvalue estimates power-iterate the sharded operator on
+        the device mesh. Peak per-device setup memory is O(N/ndev) — the
+        domain-decomposition contract of the reference's ParMesh/hypre
+        stack (``Solvers/laplace_solver_parallel.cpp:76-78``), which the
+        wrap-a-single-device-Problem path cannot honor beyond one device's
+        memory.
+        """
+        dm = device_mesh if device_mesh is not None else mesh
+        if dm is None:
+            dm = make_device_mesh()
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            prob = Problem(cfg, mesh=problem_mesh, build_precond=False)
+            sprob = cls(prob, mesh=dm, place=True, lmax_mode="sharded")
+        return sprob
 
     # ---------------------------------------------------------- device rhs
     def _zderiv_own(self, tb, jinv_z, phi_own):
@@ -765,10 +855,12 @@ class ShardedProblem:
         else:
             y0, phi0_g = state
         if np.ndim(phi0_g) == 2:
-            phi0 = jnp.asarray(phi0_g, dtype=self.dtype)  # already stacked
+            phi0 = (phi0_g if isinstance(phi0_g, jax.Array)
+                    else self._table_put(np.asarray(phi0_g, dtype=self.dtype)))
         else:
-            phi0 = jnp.asarray(self.pt.stack_dof(np.asarray(phi0_g)),
-                               dtype=self.dtype)
+            phi0 = self._table_put(
+                self.pt.stack_dof(np.asarray(phi0_g)).astype(
+                    np.dtype(self.dtype)))
         t0 = jnp.asarray(t0, dtype=self.dtype)
         if not hasattr(self, "_compiled"):
             self._compiled = {}

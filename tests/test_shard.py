@@ -108,3 +108,36 @@ def test_sharded_pmg_h_coarsening_matches_single_device():
     z_sh = pt.unstack_dof(np.asarray(fn(r_st, tbs)))
     scale = np.max(np.abs(z_ref))
     assert np.max(np.abs(z_sh - z_ref)) < 1e-11 * scale
+
+
+def test_from_config_decentralized_setup():
+    """ShardedProblem.from_config: setup computes on the host backend, every
+    stacked table lands sharded (each device holds only its slice), lmax is
+    estimated through the sharded operator, and the trajectory still matches
+    the standard path to round-off."""
+    from jax.sharding import NamedSharding
+
+    cfg = preset("pf_linear_periodic", nx=8, ny=2, nz=2, order=3, nsteps=5,
+                 cg_max_iter=600, precond="pmg")
+    dm = make_device_mesh(4)
+    sprob = ShardedProblem.from_config(cfg, device_mesh=dm)
+
+    # every [ndev, ...] table must be sharded over the mesh, not replicated
+    # or committed to one device
+    def assert_sharded(x, name):
+        assert isinstance(x.sharding, NamedSharding), name
+        assert x.sharding.spec[0] == "shard", (name, x.sharding)
+    for k, v in sprob.fine.tables.items():
+        assert_sharded(v, f"fine.{k}")
+    for li, t in enumerate(sprob.pmg.all_tables()["lv"]):
+        for k, v in t.items():
+            assert_sharded(v, f"pmg[{li}].{k}")
+    assert_sharded(sprob.Jinv_z, "Jinv_z")
+
+    t2, y2, _ = sprob.run(n_steps=5)
+
+    prob = Problem(cfg)
+    (t1, y1, _), _ = prob.run(n_steps=5)
+    err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
+    scale = max(float(np.max(np.abs(np.asarray(y1)))), 1e-30)
+    assert err < 1e-10 * scale, (err, scale)
