@@ -84,7 +84,12 @@ def main():
 
     h = 1.0 / (2.0 * np.pi)
     if args.gmsh:
+        from lpfem.mesh import cylinder_projector, set_curvature
         mesh = load_gmsh(args.gmsh)
+        # SetCurvature(order) + exact-rim snap of the cylinder wall (attr 3),
+        # cylinder-diffraction.cpp:259-264
+        set_curvature(mesh, args.order,
+                      {3: cylinder_projector(args.cx, args.cy, args.radius)})
     else:
         mesh = make_half_cylinder_tank(Lx=12.0, Ly=6.0, h=h, cx=args.cx,
                                        a=args.radius, n_theta=args.n_theta,

@@ -35,6 +35,8 @@ __all__ = [
     "make_wave_tank_finite",
     "load_mfem",
     "load_gmsh",
+    "set_curvature",
+    "cylinder_projector",
     "HEX_VERTS",
     "HEX_EDGES",
     "HEX_FACES",
@@ -565,3 +567,91 @@ def load_gmsh(path: str) -> Mesh:
     bq = np.array([[remap[v] for v in q] for q in bq], dtype=np.int64) if bq else np.zeros((0, 4), dtype=np.int64)
     ba = np.array(ba, dtype=np.int64)
     return Mesh(verts, elems, verts[elems], bq, ba, periodic=False)
+
+
+# face index -> (lattice axis normal to the face, side in {0, 1});
+# order matches HEX_FACES
+_FACE_AXIS = ((2, 0), (1, 0), (0, 1), (1, 1), (0, 0), (2, 1))
+
+
+def cylinder_projector(cx: float, cy: float, a: float):
+    """Projection onto the vertical cylinder of radius ``a`` at (cx, cy)."""
+
+    def proj(x: np.ndarray) -> np.ndarray:
+        d = x[:, :2] - np.array([cx, cy])
+        r = np.maximum(np.hypot(d[:, 0], d[:, 1]), 1e-300)
+        out = x.copy()
+        out[:, :2] = np.array([cx, cy]) + d * (a / r)[:, None]
+        return out
+
+    return proj
+
+
+def set_curvature(mesh: Mesh, pg: int,
+                  boundary_projectors: dict | None = None) -> None:
+    """MFEM ``Mesh::SetCurvature(order)`` equivalent: attach order-``pg``
+    geometry nodes interpolating the existing (tri-linear) geometry — which
+    is exactly what MFEM does to a linear Gmsh import
+    (``Solvers/cylinder-diffraction.cpp:263``: the rim stays faceted).
+
+    ``boundary_projectors`` goes beyond MFEM: ``{attr: fn(xyz[n,3]->xyz)}``
+    snaps the geometry nodes of boundary faces with that attribute onto the
+    true surface, blending the displacement linearly to zero at the opposite
+    element face — an imported faceted cylinder rim becomes exactly circular
+    (use :func:`cylinder_projector`). Displacements of multiple projected
+    faces of one element are accumulated from the base geometry.
+    """
+    from .elements import basis_1d
+
+    gll = basis_1d(pg).nodes
+    pg1 = pg + 1
+    ne = mesh.n_elems
+    L = pg1 ** 3
+
+    # trilinear base geometry at the pg-lattice (lex order, x fastest)
+    W = np.zeros((L, 8))
+    for iz in range(pg1):
+        for iy in range(pg1):
+            for ix in range(pg1):
+                nloc = ix + pg1 * (iy + pg1 * iz)
+                u, v, w = gll[ix], gll[iy], gll[iz]
+                for vi, (ax_, ay_, az_) in enumerate(HEX_VERTS):
+                    W[nloc, vi] = ((u if ax_ else 1 - u)
+                                   * (v if ay_ else 1 - v)
+                                   * (w if az_ else 1 - w))
+    geom = np.einsum("lk,eki->eli", W, mesh.corner_coords)   # [ne, L, 3]
+
+    if boundary_projectors:
+        # boundary quad -> (owning element, local face)
+        fq = np.sort(mesh.elems[:, HEX_FACES], axis=2)       # [ne, 6, 4]
+        dt = np.dtype([("", fq.dtype)] * 4)
+        flat = np.ascontiguousarray(fq.reshape(-1, 4)).view(dt).ravel()
+        order = np.argsort(flat, kind="stable")
+        keys = np.ascontiguousarray(np.sort(mesh.bdr_quads, axis=1)).view(dt).ravel()
+        pos = np.searchsorted(flat, keys, sorter=order)
+        hit = order[np.clip(pos, 0, len(flat) - 1)]
+        ok = flat[hit] == keys
+        if not np.all(ok):
+            raise ValueError("boundary quad not found among element faces")
+        own_e, own_f = hit // 6, hit % 6
+
+        lat = np.arange(L)
+        lat3 = np.stack([lat % pg1, (lat // pg1) % pg1, lat // pg1 ** 2], 1)
+        for b, attr in enumerate(mesh.bdr_attrs):
+            projf = boundary_projectors.get(int(attr))
+            if projf is None:
+                continue
+            e, f = int(own_e[b]), int(own_f[b])
+            ax, side = _FACE_AXIS[f]
+            # index of each lattice node's projection onto the face
+            pinned = lat3.copy()
+            pinned[:, ax] = side * pg
+            fidx = pinned[:, 0] + pg1 * (pinned[:, 1] + pg1 * pinned[:, 2])
+            base = np.einsum("lk,ki->li", W, mesh.corner_coords[e])
+            disp = projf(base[fidx]) - base[fidx]            # [L, 3]
+            xi = gll[lat3[:, ax]]
+            wgt = xi if side == 1 else 1.0 - xi              # 1 at the face
+            geom[e] += wgt[:, None] * disp
+
+    mesh.geom_nodes = geom
+    mesh.geom_order = pg

@@ -159,3 +159,30 @@ def test_polar_mesh_capped_radial_profile():
     r = np.hypot(cc[..., 0] - 4.0, cc[..., 1])
     dr = np.maximum(np.abs(r[:, 1] - r[:, 0]), np.abs(r[:, 2] - r[:, 3]))
     assert float(dr.max()) <= 0.35 + 1e-9
+
+
+def test_gmsh_curvature_exact_rim():
+    """SetCurvature-equivalent on the committed reference mesh: with the
+    cylinder projector the imported faceted rim becomes exactly circular
+    (the capability MFEM's SetCurvature cannot recover from a linear mesh,
+    cylinder-diffraction.cpp:259-264); elements stay valid."""
+    import jax.numpy as jnp
+    from lpfem.mesh import load_gmsh, set_curvature, cylinder_projector
+    from lpfem.operators import LaplacePA
+
+    path = "/root/reference/Meshes/mesh_cylinder_half.msh"
+    if not os.path.exists(path):
+        pytest.skip("reference mesh not available")
+    m = load_gmsh(path)
+    set_curvature(m, 3, {3: cylinder_projector(4.0, 4.0, 0.5)})
+    sp = H1Space(m, 3)
+    op = LaplacePA(sp)  # raises on inverted elements
+    X = sp.node_coords
+    r = np.hypot(X[:, 0] - 4.0, X[:, 1] - 4.0)
+    near = np.abs(r - 0.5) <= 5e-3
+    assert near.sum() > 100
+    assert np.abs(r[near] - 0.5).max() < 1e-12
+    # domain volume = tank minus half-cylinder, exact with the curved rim
+    vol = float(jnp.sum(op.wdetJ))
+    exact = 12 * 6 * (1 / (2 * np.pi)) - 0.5 * np.pi * 0.25 * (1 / (2 * np.pi))
+    assert abs(vol - exact) / exact < 2e-5
