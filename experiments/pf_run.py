@@ -28,6 +28,11 @@ def main():
                     help="zero ICs (relaxation zones build the wave)")
     ap.add_argument("--paraview-every", type=int, default=0)
     ap.add_argument("--paraview-dir", default="ParaView")
+    ap.add_argument("--glvis-every", type=int, default=0,
+                    help="stream eta to a running GLVis server every N steps "
+                         "(Solvers/PF_linear_serial.cpp:438-487)")
+    ap.add_argument("--glvis-host", default="localhost")
+    ap.add_argument("--glvis-port", type=int, default=19916)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=50)
     ap.add_argument("--resume", default=None)
@@ -79,11 +84,16 @@ def main():
     if args.paraview_every:
         pv_vol = ParaViewCollection(args.paraview_dir, cfg.name + "_vol")
         pv_fs = ParaViewCollection(args.paraview_dir, cfg.name + "_fs")
+    glvis = None
+    if args.glvis_every:
+        from lpfem.glvis import GLVisStream
+        glvis = GLVisStream(args.glvis_host, args.glvis_port)
 
     ns = prob.surf.n_dofs
     step_fn = None
     t_wall0 = time.perf_counter()
-    chunk = args.paraview_every or args.checkpoint_every or cfg.nsteps
+    chunk = (args.paraview_every or args.glvis_every or args.checkpoint_every
+             or cfg.nsteps)
     step = step0
     while step < cfg.nsteps:
         n = min(chunk, cfg.nsteps - step)
@@ -100,6 +110,9 @@ def main():
             pv_fs.save(step, t, write_vtu_surface, prob.surf,
                        {"eta": np.asarray(y[:ns]),
                         "phi_fs": np.asarray(y[ns:])})
+        if glvis is not None and step % args.glvis_every < n:
+            glvis.send(prob.surf, np.asarray(y[:ns]),
+                       keys="Rjlc" if step <= n else None)
         if args.checkpoint and step % args.checkpoint_every < n:
             save_checkpoint(args.checkpoint, step=step, t=t, y=y, phi=phi,
                             config=cfg.name)

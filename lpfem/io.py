@@ -12,8 +12,8 @@ TPU-native replacement for the reference's side channels:
 - checkpoint/resume of ``[eta; phi_fs]`` + step index — absent from the
   reference entirely (SURVEY.md §5), added here as a capability upgrade.
 
-GLVis socket streaming is intentionally omitted (visualization is served by
-the ParaView path; SURVEY.md §2d marks GLVis optional/omittable).
+GLVis socket streaming lives in :mod:`lpfem.glvis` (shares the subdivision
+helpers below).
 """
 
 from __future__ import annotations
@@ -23,8 +23,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["write_vtu", "write_vtu_surface", "ParaViewCollection",
-           "DataFile", "save_checkpoint", "load_checkpoint"]
+__all__ = ["write_vtu", "write_vtu_surface", "volume_cells", "surface_cells",
+           "ParaViewCollection", "DataFile", "save_checkpoint",
+           "load_checkpoint"]
 
 # VTK hex vertex order == MFEM hex order; lattice offsets of the 8 corners
 _SUB_HEX = np.array([
@@ -63,9 +64,10 @@ def _vtu_xml(points: np.ndarray, conn: np.ndarray, cell_type: int,
     return "".join(buf)
 
 
-def write_vtu(path: str, space, fields: dict[str, np.ndarray]) -> None:
-    """High-order volume output: per-element GLL lattice points, p^3 linear
-    sub-hexes per element. ``fields`` maps name -> dof vector [n_dofs]."""
+def volume_cells(space) -> tuple[np.ndarray, np.ndarray]:
+    """GLL-subdivided linear visualization cells of a volume space:
+    per-element lattice points [ne*(p+1)^3, 3] + p^3 sub-hexes per element
+    (MFEM's ``SetLevelsOfDetail`` idea). Shared by the VTU and GLVis paths."""
     p = space.p
     p1 = p + 1
     ne = space.mesh.n_elems
@@ -82,15 +84,11 @@ def write_vtu(path: str, space, fields: dict[str, np.ndarray]) -> None:
     sub = np.asarray(sub)                                 # [p^3, 8]
     base = (np.arange(ne) * p1 ** 3)[:, None, None]
     conn = (base + sub[None]).reshape(-1, 8)
-
-    pdata = {name: np.asarray(v)[space.elem_dofs].reshape(-1)
-             for name, v in fields.items()}
-    with open(path, "w") as f:
-        f.write(_vtu_xml(pts, conn, 12, pdata))
+    return pts, conn
 
 
-def write_vtu_surface(path: str, surf, fields: dict[str, np.ndarray]) -> None:
-    """Surface (quad) output on the free-surface trace space."""
+def surface_cells(surf) -> tuple[np.ndarray, np.ndarray]:
+    """GLL-subdivided linear quad cells of a surface trace space."""
     p = surf.p
     p1 = p + 1
     ne = surf.n_elems
@@ -106,6 +104,22 @@ def write_vtu_surface(path: str, surf, fields: dict[str, np.ndarray]) -> None:
     sub = np.asarray(sub)
     base = (np.arange(ne) * p1 ** 2)[:, None, None]
     conn = (base + sub[None]).reshape(-1, 4)
+    return pts, conn
+
+
+def write_vtu(path: str, space, fields: dict[str, np.ndarray]) -> None:
+    """High-order volume output: per-element GLL lattice points, p^3 linear
+    sub-hexes per element. ``fields`` maps name -> dof vector [n_dofs]."""
+    pts, conn = volume_cells(space)
+    pdata = {name: np.asarray(v)[space.elem_dofs].reshape(-1)
+             for name, v in fields.items()}
+    with open(path, "w") as f:
+        f.write(_vtu_xml(pts, conn, 12, pdata))
+
+
+def write_vtu_surface(path: str, surf, fields: dict[str, np.ndarray]) -> None:
+    """Surface (quad) output on the free-surface trace space."""
+    pts, conn = surface_cells(surf)
     pdata = {name: np.asarray(v)[surf.elem_dofs].reshape(-1)
              for name, v in fields.items()}
     with open(path, "w") as f:

@@ -12,7 +12,11 @@ import sys
 import numpy as np
 import pytest
 
-ENV = dict(os.environ, JAX_PLATFORMS="cpu", LPFEM_X64="1")
+# LPFEM_PLATFORM is the reliable pin: the axon TPU plugin overrides the
+# JAX_PLATFORMS env var (CLAUDE.md); without it these subprocesses compile
+# over the TPU tunnel and the suite takes 10+ minutes.
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", LPFEM_PLATFORM="cpu",
+           LPFEM_X64="1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

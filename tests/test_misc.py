@@ -186,3 +186,56 @@ def test_gmsh_curvature_exact_rim():
     vol = float(jnp.sum(op.wdetJ))
     exact = 12 * 6 * (1 / (2 * np.pi)) - 0.5 * np.pi * 0.25 * (1 / (2 * np.pi))
     assert abs(vol - exact) / exact < 2e-5
+
+
+def test_glvis_stream(tmp_path):
+    """GLVis socket payload: a local TCP sink receives a well-formed
+     'solution' stream (mesh + P1 gridfunction); no server -> graceful
+    disable (PF_linear_serial.cpp:447-455 behavior)."""
+    import socket
+    import threading
+    from lpfem.glvis import GLVisStream, solution_text
+
+    m = make_wave_tank_finite(4, 1, 1)
+    sp = H1Space(m, 3)
+    surf = SurfaceSpace(sp, attr=2)
+    u = sp.project(lambda x, y, z: x + y * z)
+
+    # payload structure (volume + surface)
+    txt = solution_text(sp, u, keys="Rjlc")
+    assert txt.startswith("solution\nMFEM mesh v1.0")
+    assert f"elements\n{m.n_elems * 27}\n" in txt      # p^3 sub-hexes
+    assert "FiniteElementCollection: H1_3D_P1" in txt
+    assert txt.rstrip().endswith("keys Rjlc")
+    n_vals = len(txt.split("Ordering: 0\n\n")[1].split("keys")[0].split())
+    assert n_vals == m.n_elems * 4 ** 3                # one value per lattice pt
+    stxt = solution_text(surf, u[surf.surf_to_vol])
+    assert "H1_2D_P1" in stxt and "dimension\n2" in stxt
+
+    # live socket round-trip
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    received = []
+
+    def sink():
+        conn, _ = srv.accept()
+        while chunk := conn.recv(1 << 16):
+            received.append(chunk)
+        conn.close()
+
+    th = threading.Thread(target=sink, daemon=True)
+    th.start()
+    vis = GLVisStream("127.0.0.1", port)
+    assert vis.send(surf, u[surf.surf_to_vol], keys="Rj")
+    vis.close()
+    th.join(timeout=5)
+    srv.close()
+    assert b"".join(received).decode() == solution_text(
+        surf, u[surf.surf_to_vol], keys="Rj")
+
+    # nobody listening: returns False, disables, does not raise
+    dead = GLVisStream("127.0.0.1", port)
+    assert not dead.send(surf, u[surf.surf_to_vol])
+    assert not dead.send(surf, u[surf.surf_to_vol])
