@@ -44,6 +44,9 @@ def main():
                          "0 disables (pure geometric grading)")
     ap.add_argument("--nz", type=int, default=1)
     ap.add_argument("--gmsh", default=None, help="load a Gmsh v2.2 mesh instead")
+    ap.add_argument("--Lx", type=float, default=12.0)
+    ap.add_argument("--Ly", type=float, default=6.0,
+                    help="half-domain width (reference half mesh: 6)")
     ap.add_argument("--cx", type=float, default=4.0)
     ap.add_argument("--cy", type=float, default=0.0,
                     help="cylinder center y (4.0 for the committed half mesh)")
@@ -91,7 +94,7 @@ def main():
         set_curvature(mesh, args.order,
                       {3: cylinder_projector(args.cx, args.cy, args.radius)})
     else:
-        mesh = make_half_cylinder_tank(Lx=12.0, Ly=6.0, h=h, cx=args.cx,
+        mesh = make_half_cylinder_tank(Lx=args.Lx, Ly=args.Ly, h=h, cx=args.cx,
                                        a=args.radius, n_theta=args.n_theta,
                                        n_r=args.n_r, nz=args.nz,
                                        geom_order=args.order,
