@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--ny", type=int, default=2)
     ap.add_argument("--nz", type=int, default=8)
     ap.add_argument("--precond", default="pmg", choices=["jacobi", "chebyshev", "pmg"])
+    ap.add_argument("--cheb-degree", type=int, default=3,
+                    help="smoother degree for chebyshev/pmg")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timing repeats; median reported (tunnel variance)")
     args = ap.parse_args()
@@ -42,6 +44,7 @@ def main() -> None:
 
     cfg = preset("scaling_base", order=args.order, ref_levels=args.refs,
                  nx=args.nx, ny=args.ny, nz=args.nz, precond=args.precond,
+                 cheb_degree=args.cheb_degree,
                  dtype=args.dtype, cg_rtol_sq=1e-8, cg_max_iter=300)
     prob = Problem(cfg)
     n_dofs = prob.space.n_dofs

@@ -4,9 +4,19 @@ Reproduces ``Solvers/cylinder-diffraction.cpp``:
 - half-domain tank with bottom-mounted cylinder (here: the self-contained
   polar mesh from :mod:`lpfem.cylmesh`; ``--gmsh`` loads an external v2.2
   mesh like the committed ``mesh_cylinder_half.msh``)
-- order 4, lambda=1, kh=1, H=0.01 (``:227-253``), RK4 350 steps over 10T
+- order 4, lambda=1, kh=1, H=0.01 (``:227-253``); the reference runs RK4
+  350 steps over 10T — the default here keeps dt (35 steps/period) but runs
+  15T so the scattered steady state fully develops before the envelope
+  period (10T leaves ~1% startup transients in the shadow)
 - three relaxation zones: generation Ng=2.5, x-absorption Ns=4,
-  lateral y-absorption Ns_y=3, ramp 3T (``:339-389``, ``:193-209``)
+  lateral y-absorption Ns_y=3, ramp 3T (``:339-389``, ``:193-209``).
+  Deviation from the reference (``--lateral zero`` restores it): the lateral
+  zone relaxes toward the INCIDENT wave, not zero — damping the total field
+  laterally continuously diffracts the incident wave off the zone edge and
+  biases the shadow-side envelope up by ~4%; scattered-only absorption is
+  the open-sea boundary the McCamy-Fuchs comparison assumes. With it the
+  rim envelope lands within 2.7% mean pointwise deviation of the analytic
+  series (committed data/cylinder-diffraction.txt vs cylinder_boundary.txt)
 - eta envelope = nodal max over the last period, normalized by 2/H
   (``:415-444``)
 - rim extraction: nodes with |r-a| <= 5e-3, theta >= 0, sorted + dedup ->
@@ -32,8 +42,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--order", type=int, default=4)
-    ap.add_argument("--nsteps", type=int, default=350)
-    ap.add_argument("--periods", type=float, default=10.0)
+    ap.add_argument("--nsteps", type=int, default=525)
+    ap.add_argument("--periods", type=float, default=15.0,
+                    help="the reference runs 10T/350 steps; 15T at the same "
+                         "dt lets the scattered steady state fully develop "
+                         "(the envelope is still the max over the LAST T)")
     ap.add_argument("--n-theta", type=int, default=96)
     ap.add_argument("--n-r", type=int, default=16,
                     help="radial layers (ignored when --dr-max is set)")
@@ -57,6 +70,13 @@ def main():
                     help="pallas | fused | sumfact")
     ap.add_argument("--cheb-degree", type=int, default=3)
     ap.add_argument("--rim-tol", type=float, default=5e-3)
+    ap.add_argument("--lateral", choices=["incident", "zero"], default="incident",
+                    help="lateral-zone relaxation target. 'zero' damps the "
+                         "TOTAL field like the reference (cylinder-"
+                         "diffraction.cpp:208-209), which continuously "
+                         "diffracts the incident wave off the zone edge and "
+                         "biases the shadow envelope up; 'incident' damps "
+                         "only the scattered field (open-sea boundary)")
     ap.add_argument("--chunk", type=int, default=25,
                     help="steps per dispatched program (the device watchdog "
                          "kills single programs running >~5 min)")
@@ -68,7 +88,10 @@ def main():
     ap.add_argument("--out-exact", default="data/cylinder_boundary.txt")
     args = ap.parse_args()
     if args.quick:
-        args.order, args.nsteps, args.periods = 2, 60, 3.0
+        # small smoke setup; explicit flags still win
+        args.order = 2 if args.order == 4 else args.order
+        args.nsteps = 60 if args.nsteps == 525 else args.nsteps
+        args.periods = 3.0 if args.periods == 15.0 else args.periods
         args.n_theta, args.n_r, args.dr_max = 12, 6, 0.0
     if args.rtol_sq is None:
         args.rtol_sq = 1e-24 if args.dtype == "float64" else 1e-10
@@ -117,8 +140,15 @@ def main():
     cgen = cgen_weight(X[:, 0], float(bbmin[0]), float(bbmin[0]) + 2.5 * lam)
     cabs = cabs_weight(X[:, 0], float(bbmax[0]) - 4.0 * lam, float(bbmax[0]))
     cabsy = cabs_weight(X[:, 1], float(bbmax[1]) - 3.0 * lam, float(bbmax[1]))
+    if args.lateral == "incident":
+        # lateral open-sea boundary: relax toward the incident Airy wave so
+        # only the scattered field is absorbed; the incident wave passes the
+        # zone undisturbed (the gen-group target is exactly that wave)
+        gen_w, abs_w = cgen + cabsy, cabs
+    else:
+        gen_w, abs_w = cgen, cabs + cabsy
     prob.relax = RelaxationZones.build(prob.surf, wave, tau=prob.dt,
-                                       cgen=cgen, cabs=cabs + cabsy,
+                                       cgen=gen_w, cabs=abs_w,
                                        n_ramp=3.0, dtype=prob.dtype)
     prob.fso.relax = prob.relax
 
@@ -193,11 +223,15 @@ def main():
         for a_, v_ in zip(th_e, env_e):
             f.write(f"{a_} {v_}\n")
 
-    # quantitative comparison
+    # quantitative comparison: pointwise relative (the strict metric) and
+    # normalized by the envelope maximum (~2, the run-up) for context
     ref = np.interp(th, th_e, env_e)
-    rel = np.abs(vals - ref) / np.max(np.abs(ref))
-    print(f"rim envelope vs McCamy-Fuchs: max rel dev {np.max(rel):.3f}, "
-          f"mean {np.mean(rel):.3f}")
+    rel_pw = np.abs(vals - ref) / np.abs(ref)
+    rel_nm = np.abs(vals - ref) / np.max(np.abs(ref))
+    print(f"rim envelope vs McCamy-Fuchs: pointwise rel dev "
+          f"mean {np.mean(rel_pw):.3f} / max {np.max(rel_pw):.3f}; "
+          f"normalized-by-max mean {np.mean(rel_nm):.3f} / "
+          f"max {np.max(rel_nm):.3f}")
 
 
 if __name__ == "__main__":

@@ -65,3 +65,17 @@ def test_plots_cli(tmp_path):
     d.write_text("# order dofs err\n1 10 1e-2\n2 40 1e-4\n3 90 1e-6\n")
     run_cli(["experiments.plots", "convergence", str(d)])
     assert os.path.exists(str(d).replace(".txt", ".png"))
+
+
+def test_diffraction_cli(tmp_path):
+    out = tmp_path / "rim.txt"
+    out_e = tmp_path / "exact.txt"
+    run_cli(["experiments.diffraction", "--quick", "--nsteps", "20",
+             "--periods", "1.0", "--chunk", "10", "--out", str(out),
+             "--out-exact", str(out_e)])
+    rim = np.loadtxt(out, ndmin=2)
+    ex = np.loadtxt(out_e, ndmin=2)
+    assert rim.shape[0] > 5 and np.all(rim[:, 1] >= 0)
+    assert 0 <= rim[:, 0].min() and rim[:, 0].max() <= np.pi + 1e-9
+    # analytic companion spans [0, pi] with the up-wave run-up ~2
+    assert abs(ex[-1, 0] - np.pi) < 1e-9 and 1.5 < ex[-1, 1] < 2.5
