@@ -74,12 +74,20 @@ class Problem:
         (and its setup-time power iterations) — used by the sharded runner,
         which builds its own sharded hierarchy instead."""
         self.cfg = cfg
-        self.dtype = jnp.dtype(cfg.dtype)
+        # dtype="mixed": f64 state + outer residuals, f32 operator/precond
+        # for the hot inner CG (solvers.pcg_ir) — MFEM's double tolerances
+        # at near-f32 MXU speed (``Solvers/PF_linear_par_partial.cpp:157-164``)
+        self.mixed = cfg.dtype == "mixed"
+        self.dtype = jnp.dtype("float64" if self.mixed else cfg.dtype)
         self.mesh = mesh if mesh is not None else build_mesh(cfg)
         self.wave = build_wave(cfg, self.mesh)
         self.space = H1Space(self.mesh, cfg.order)
-        self.op = LaplacePA(self.space, q=cfg.quad, dtype=self.dtype,
+        op_dtype = jnp.float32 if self.mixed else self.dtype
+        self.op = LaplacePA(self.space, q=cfg.quad, dtype=op_dtype,
                             mode=cfg.apply_mode)
+        self.op_hi = (LaplacePA(self.space, q=cfg.quad, dtype=jnp.float64,
+                                mode=cfg.apply_mode)
+                      if self.mixed else None)
         self.surf = SurfaceSpace(self.space, attr=2)
 
         self.dt = float(cfg.t_final_periods * self.wave.T / cfg.nsteps)
@@ -111,7 +119,7 @@ class Problem:
             inv_diag = 1.0 / self.op.diag.at[ess].set(1.0)
             apply_c = lambda v: self.op.constrained_apply(v, ess)
             lmax = estimate_lmax(apply_c, inv_diag, self.space.n_dofs,
-                                 dtype=self.dtype)
+                                 dtype=self.op.dtype)
             precond_fn = ChebyshevSmoother(apply_c, inv_diag, lmax,
                                            degree=cfg.cheb_degree)
         elif cfg.precond != "jacobi":
@@ -120,7 +128,8 @@ class Problem:
         self.fso = FreeSurfaceOperator(
             self.op, self.surf, g=cfg.g, relax=relax,
             cg_rtol_sq=cfg.cg_rtol_sq, cg_atol_sq=cfg.cg_atol_sq,
-            cg_max_iter=cfg.cg_max_iter, precond_fn=precond_fn)
+            cg_max_iter=cfg.cg_max_iter, precond_fn=precond_fn,
+            op_hi=self.op_hi)
 
         # big-buffer registry: jit entry points thread these as arguments
         # instead of HLO constants (lpfem.params; required at 10M+ dofs)
@@ -222,7 +231,7 @@ class Problem:
 
     def w_error_inf(self, phi, t) -> float:
         from .operators import NodalZDerivative
-        w_num = np.asarray(NodalZDerivative(self.op)(phi))
+        w_num = np.asarray(NodalZDerivative(self.op_hi or self.op)(phi))
         wv = self.wave
         ex = self.space.project(lambda x, y, z: wv.w_vel(x, y, z, t))
         return float(np.max(np.abs(w_num - ex)))

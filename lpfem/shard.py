@@ -47,7 +47,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .operators import LaplacePA, _apply_G6
 from .problem import Problem
-from .solvers import pcg
+from .solvers import pcg, pcg_ir
 from .timestep import rk4_run
 
 __all__ = ["Partition", "ShardedLevel", "ShardedProblem", "make_device_mesh"]
@@ -708,14 +708,22 @@ class ShardedProblem:
         sp = prob.space
         pt = Partition(sp, ndev)
         self.pt = pt
-        dtype = op.dtype
-        self.dtype = dtype
+        # state dtype (f64 when the problem is mixed-precision; == op.dtype
+        # otherwise) — the operator tables keep op.dtype
+        self.dtype = prob.dtype
         put = sharded_put(self.mesh) if place else jnp.asarray
         self._table_put = put
 
         ess_fine = np.asarray(prob.surf.surf_to_vol)
         exchange = getattr(prob.cfg, "shard_exchange", "auto")
         self.fine = ShardedLevel(op, pt, ess_fine, exchange=exchange, put=put)
+        # mixed precision (Problem dtype="mixed"): a second f64 level powers
+        # the outer residuals of pcg_ir while self.fine (f32) runs the inner
+        # CG + preconditioner — the SPMD form of the single-device mixed path
+        self.fine_hi = None
+        if getattr(prob, "op_hi", None) is not None:
+            self.fine_hi = ShardedLevel(prob.op_hi, pt, ess_fine,
+                                        exchange=exchange, put=put)
         self.N_max = pt.N_max
 
         self.pmg = None
@@ -727,7 +735,7 @@ class ShardedProblem:
 
         # ---- z-derivative tables ----
         zd = prob.fso.zderiv
-        npdt = np.dtype(dtype)
+        npdt = np.dtype(self.dtype)
         self.Jinv_z = put(pt.stack_elem(np.asarray(zd.Jinv_z)).astype(npdt))
         self.Dn = zd.Dn
         self.p1 = sp.p + 1
@@ -799,9 +807,11 @@ class ShardedProblem:
         relax = fso.relax
         rtol_sq, max_iter = fso.cg_rtol_sq, fso.cg_max_iter
         lv = self.fine
+        lv_hi = self.fine_hi
         pmg = self.pmg
 
-        def rhs(t, y, phi_own, tb, pmg_tbs, jinv_z, surf_pos, surf_loc):
+        def rhs(t, y, phi_own, tb, tb_hi, pmg_tbs, jinv_z, surf_pos,
+                surf_loc):
             eta, phi_fs = y[:NSurf], y[NSurf:]
             free = 1.0 - tb["ess"]
 
@@ -809,20 +819,34 @@ class ShardedProblem:
             x_bc = jnp.zeros(self.N_max + 1, dtype=phi_fs.dtype
                              ).at[surf_loc].set(pfs_pad[surf_pos])
 
-            B = -lv.apply_own(tb, x_bc) * free + x_bc
-            x0 = phi_own * free + x_bc
-
             if pmg is not None:
                 precond = lambda r: pmg.vcycle(pmg_tbs, r)
             else:
                 precond = lambda r: r * tb["invd"]
 
-            res = pcg(lambda v: lv.apply_c(tb, v), B, x0,
-                      precond_fn=precond,
-                      rtol_sq=rtol_sq, max_iter=max_iter, dot_fn=lv.pdot)
+            if lv_hi is not None:
+                # mixed: f64 constrained system + outer residuals through
+                # the hi level; inner f32 CG + preconditioner via pcg_ir
+                B = -lv_hi.apply_own(tb_hi, x_bc) * free + x_bc
+                x0 = phi_own * free + x_bc
+                res = pcg_ir(lambda v: lv_hi.apply_c(tb_hi, v),
+                             lambda v: lv.apply_c(tb, v), B, x0,
+                             precond_lo=precond,
+                             rtol_sq=rtol_sq, atol_sq=fso.cg_atol_sq,
+                             max_outer=fso.ir_max_outer,
+                             inner_rtol_sq=fso.ir_inner_rtol_sq,
+                             inner_max_iter=max_iter, dot_fn=lv.pdot)
+            else:
+                B = -lv.apply_own(tb, x_bc) * free + x_bc
+                x0 = phi_own * free + x_bc
+                res = pcg(lambda v: lv.apply_c(tb, v), B, x0,
+                          precond_fn=precond,
+                          rtol_sq=rtol_sq, max_iter=max_iter, dot_fn=lv.pdot)
             phi_new = res.x
 
-            w_own = self._zderiv_own(tb, jinv_z, phi_new)
+            # the z-derivative reads the hi tables when mixed (f64 invm)
+            w_own = self._zderiv_own(tb_hi if lv_hi is not None else tb,
+                                     jinv_z, phi_new)
             sbuf = jnp.zeros(NSurf + 1, dtype=phi_fs.dtype
                              ).at[surf_pos].set(w_own[surf_loc])
             sbuf = lv._psum(sbuf)
@@ -872,17 +896,21 @@ class ShardedProblem:
         dt = prob.dt
         pmg_tables = (self.pmg.all_tables() if self.pmg is not None
                       else {"lv": [], "via": []})
+        hi_tables = (self.fine_hi.tables if self.fine_hi is not None
+                     else {})
 
-        def device_fn(t0, y0, phi0, tb, pmg_tbs, jinv_z, surf_pos, surf_loc):
+        def device_fn(t0, y0, phi0, tb, tb_hi, pmg_tbs, jinv_z, surf_pos,
+                      surf_loc):
             # shard_map keeps rank: drop the leading size-1 device axis
             (phi0, jinv_z, surf_pos, surf_loc) = (
                 a[0] for a in (phi0, jinv_z, surf_pos, surf_loc))
             tb = jax.tree.map(lambda a: a[0], tb)
+            tb_hi = jax.tree.map(lambda a: a[0], tb_hi)
             pmg_tbs = jax.tree.map(lambda a: a[0], pmg_tbs)
 
             def f(t, y, phi_own):
-                return rhs(t, y, phi_own, tb, pmg_tbs, jinv_z, surf_pos,
-                           surf_loc)
+                return rhs(t, y, phi_own, tb, tb_hi, pmg_tbs, jinv_z,
+                           surf_pos, surf_loc)
 
             # one shard's NaN must freeze every shard in the same step
             ndev = self.ndev
@@ -894,15 +922,16 @@ class ShardedProblem:
         sh, rep = P("shard"), P()
         fn = jax.shard_map(
             device_fn, mesh=self.mesh,
-            in_specs=(rep, rep, sh, sh, sh, sh, sh, sh),
+            in_specs=(rep, rep, sh, sh, sh, sh, sh, sh, sh),
             out_specs=(rep, rep, sh, rep),
             check_vma=False,
         )
         fn = jax.jit(fn)
 
         def call(t0, y0, phi0):
-            t, y, phi, ok = fn(t0, y0, phi0, self.fine.tables, pmg_tables,
-                               self.Jinv_z, self.surf_pos, self.surf_loc)
+            t, y, phi, ok = fn(t0, y0, phi0, self.fine.tables, hi_tables,
+                               pmg_tables, self.Jinv_z, self.surf_pos,
+                               self.surf_loc)
             self._last_ok = ok
             return t, y, phi
 

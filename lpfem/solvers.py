@@ -27,7 +27,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CGResult", "pcg", "jacobi_preconditioner"]
+__all__ = ["CGResult", "pcg", "pcg_ir", "pcg_refined", "jacobi_preconditioner"]
 
 
 class CGResult(NamedTuple):
@@ -45,12 +45,23 @@ def pcg(apply_fn: Callable, b: jax.Array, x0: jax.Array,
         precond_fn: Callable = lambda r: r,
         rtol_sq: float = 1e-24, atol_sq: float = 0.0,
         max_iter: int = 1000,
-        dot_fn: Callable = _default_dot) -> CGResult:
+        dot_fn: Callable = _default_dot,
+        grow_limit: float | None = 1e6) -> CGResult:
     """Preconditioned conjugate gradients (Hestenes-Stiefel, MFEM update order).
 
     ``dot_fn`` is a hook for distributed reductions: the sharded solver passes
     a local-dot + ``lax.psum`` composition so the same loop runs under
     ``shard_map`` unchanged.
+
+    ``grow_limit`` is a finite-precision breakdown guard: when a tolerance
+    sits at/below the achievable floor for the working precision (an f32
+    solve asked for ~1e-10 on r.z, or MFEM's 1e-24 in f64), CG stalls at its
+    floor and the stalled recurrence can break down — the iterate then grows
+    without bound while staying finite (observed: f32 + Jacobi blowing a
+    2e-3-scale solution up to 6e3 within a few hundred stalled iterations).
+    The loop exits once r.z exceeds ``grow_limit`` times its running
+    minimum — far beyond any transient CG non-monotonicity, so healthy
+    solves are unaffected. ``None`` disables.
     """
     r = b - apply_fn(x0)
     z = precond_fn(r)
@@ -59,15 +70,18 @@ def pcg(apply_fn: Callable, b: jax.Array, x0: jax.Array,
     threshold = jnp.maximum(rz0 * rtol_sq, atol_sq)
 
     def cond(state):
-        x, r, d, rz, it = state
+        x, r, d, rz, rz_min, it = state
         # NaN guard: a diverged/NaN preconditioner makes `rz > threshold`
         # False (NaN comparisons), which would silently look like instant
         # convergence; keep that exit behavior but the caller can detect it
         # via a non-finite CGResult.rz.
-        return jnp.logical_and(rz > threshold, it < max_iter)
+        go = jnp.logical_and(rz > threshold, it < max_iter)
+        if grow_limit is not None:
+            go = jnp.logical_and(go, rz < grow_limit * rz_min)
+        return go
 
     def body(state):
-        x, r, d, rz, it = state
+        x, r, d, rz, rz_min, it = state
         Ad = apply_fn(d)
         dAd = dot_fn(d, Ad)
         # zero-denominator guards: if CG stagnates below the achievable
@@ -81,10 +95,10 @@ def pcg(apply_fn: Callable, b: jax.Array, x0: jax.Array,
         rz_new = dot_fn(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         d = z + beta * d
-        return (x, r, d, rz_new, it + 1)
+        return (x, r, d, rz_new, jnp.minimum(rz_min, rz_new), it + 1)
 
-    x, r, d, rz, it = jax.lax.while_loop(
-        cond, body, (x0, r, d, rz0, jnp.asarray(0, dtype=jnp.int32)))
+    x, r, d, rz, rz_min, it = jax.lax.while_loop(
+        cond, body, (x0, r, d, rz0, rz0, jnp.asarray(0, dtype=jnp.int32)))
     return CGResult(x=x, iters=it, rz=rz, rz0=rz0)
 
 
@@ -95,10 +109,55 @@ def jacobi_preconditioner(diag: jax.Array) -> Callable:
     return lambda r: r * inv
 
 
+def pcg_ir(apply_hi: Callable, apply_lo: Callable, b: jax.Array,
+           x0: jax.Array, precond_lo: Callable = lambda r: r,
+           rtol_sq: float = 1e-24, atol_sq: float = 0.0,
+           max_outer: int = 4, inner_rtol_sq: float = 1e-8,
+           inner_max_iter: int = 1000,
+           dot_fn: Callable = _default_dot) -> CGResult:
+    """Fully-traced mixed-precision CG (iterative refinement) — the
+    jit/scan-compatible twin of :func:`pcg_refined`, usable inside the fused
+    RK4 time loop (``Problem`` with ``dtype="mixed"``).
+
+    Outer ``lax.while_loop`` on the f64 true residual ``||b - A x||^2``
+    around an inner f32 :func:`pcg` solve of the error equation. ``b``/``x0``
+    set the high precision; the low side is float32.
+
+    ``inner_rtol_sq`` must stay well ABOVE the f32 CG floor (~1e-10 on r.z
+    with Jacobi): the outer passes supply the depth (one pass per
+    ~sqrt(inner_rtol_sq) digits), and an inner tolerance at the floor is a
+    knife-edge — a few-ulp perturbation decides between a 30-iteration exit
+    and a stalled recurrence that breaks down (see ``pcg``'s grow_limit).
+    """
+    hi = b.dtype
+    lo = jnp.float32
+    x = x0.astype(hi)
+    r = b - apply_hi(x)
+    rr0 = dot_fn(r, r)
+    threshold = jnp.maximum(rr0 * rtol_sq, atol_sq)
+
+    def cond(st):
+        x, r, rr, it, k = st
+        return jnp.logical_and(rr > threshold, k < max_outer)
+
+    def body(st):
+        x, r, rr, it, k = st
+        inner = pcg(apply_lo, r.astype(lo), jnp.zeros_like(r, dtype=lo),
+                    precond_fn=precond_lo, rtol_sq=inner_rtol_sq,
+                    max_iter=inner_max_iter, dot_fn=dot_fn)
+        x = x + inner.x.astype(hi)
+        r = b - apply_hi(x)
+        return (x, r, dot_fn(r, r), it + inner.iters, k + 1)
+
+    zero = jnp.asarray(0, dtype=jnp.int32)
+    x, r, rr, it, k = jax.lax.while_loop(cond, body, (x, r, rr0, zero, zero))
+    return CGResult(x=x, iters=it, rz=rr, rz0=rr0)
+
+
 def pcg_refined(apply_hi: Callable, apply_lo: Callable, b: jax.Array,
                 x0: jax.Array, precond_lo: Callable = lambda r: r,
                 rtol_sq: float = 1e-24, atol_sq: float = 0.0,
-                max_outer: int = 6, inner_rtol_sq: float = 1e-10,
+                max_outer: int = 6, inner_rtol_sq: float = 1e-8,
                 inner_max_iter: int = 1000,
                 dot_fn: Callable = _default_dot) -> CGResult:
     """Mixed-precision CG via iterative refinement (defect correction).

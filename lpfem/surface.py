@@ -31,7 +31,7 @@ import numpy as np
 
 from .analytic import AiryWave
 from .operators import LaplacePA, NodalZDerivative
-from .solvers import pcg
+from .solvers import pcg, pcg_ir
 from .space import SurfaceSpace
 
 __all__ = [
@@ -116,21 +116,31 @@ class FreeSurfaceOperator:
                  relax: RelaxationZones | None = None,
                  cg_rtol_sq: float = 1e-24, cg_atol_sq: float = 0.0,
                  cg_max_iter: int = 1000,
-                 precond_fn=None):
+                 precond_fn=None,
+                 op_hi: LaplacePA | None = None,
+                 ir_max_outer: int = 4, ir_inner_rtol_sq: float = 1e-8):
+        """``op_hi`` switches the Laplace solve to mixed precision: ``op``
+        (f32) powers the inner CG + preconditioner, ``op_hi`` (f64) the outer
+        true residuals and the z-derivative (``solvers.pcg_ir``) — MFEM's
+        double-precision tolerances at near-f32 speed on the MXU
+        (``Solvers/PF_linear_par_partial.cpp:157-164``)."""
         self.op = op
+        self.op_hi = op_hi
         self.surf = surf
         self.g = g
         self.relax = relax
         self.cg_rtol_sq = cg_rtol_sq
         self.cg_atol_sq = cg_atol_sq
         self.cg_max_iter = cg_max_iter
+        self.ir_max_outer = ir_max_outer
+        self.ir_inner_rtol_sq = ir_inner_rtol_sq
         self.n_surf = surf.n_dofs
 
         s2v = surf.surf_to_vol
         if len(np.unique(s2v)) != len(s2v):
             raise AssertionError("surface->volume dof map is not injective")
         self.ess = jnp.asarray(s2v.astype(np.int32))
-        self.zderiv = NodalZDerivative(op)
+        self.zderiv = NodalZDerivative(op_hi if op_hi is not None else op)
         # Jacobi preconditioner diagonal with identity on essential dofs
         diag_c = op.diag.at[self.ess].set(1.0)
         self._inv_diag = 1.0 / diag_c
@@ -140,6 +150,8 @@ class FreeSurfaceOperator:
     def register_params(self, bp) -> None:
         """Thread large buffers as jit arguments (lpfem.params)."""
         self.op.register_params(bp)
+        if self.op_hi is not None:
+            self.op_hi.register_params(bp)
         self.zderiv.register_params(bp)
         bp.register(self, "_inv_diag", "ess")
         if self.relax is not None:
@@ -152,6 +164,19 @@ class FreeSurfaceOperator:
         """Dirichlet Laplace solve: phi = phi_fs on the free surface,
         zero-Neumann elsewhere (``Solvers/PF_linear_periodic.cpp:71-92``)."""
         op, ess = self.op, self.ess
+        if self.op_hi is not None:
+            oph = self.op_hi
+            b = jnp.zeros(oph.n_dofs, dtype=phi_warm.dtype)
+            B, _ = oph.constrained_rhs(b, ess, phi_fs)
+            x0 = phi_warm.at[ess].set(phi_fs)
+            res = pcg_ir(lambda v: oph.constrained_apply(v, ess),
+                         lambda v: op.constrained_apply(v, ess), B, x0,
+                         precond_lo=self._precond,
+                         rtol_sq=self.cg_rtol_sq, atol_sq=self.cg_atol_sq,
+                         max_outer=self.ir_max_outer,
+                         inner_rtol_sq=self.ir_inner_rtol_sq,
+                         inner_max_iter=self.cg_max_iter)
+            return res.x, res.iters
         b = jnp.zeros(op.n_dofs, dtype=phi_warm.dtype)
         B, _ = op.constrained_rhs(b, ess, phi_fs)
         x0 = phi_warm.at[ess].set(phi_fs)
