@@ -203,6 +203,21 @@ def _apply_G6(G6: jax.Array, gx: jax.Array, gy: jax.Array, gz: jax.Array) -> jax
     return jnp.stack([hx, hy, hz], axis=-2)
 
 
+def _apply_G6_affine(C6: jax.Array, w3: jax.Array, gx: jax.Array,
+                     gy: jax.Array, gz: jax.Array) -> jax.Array:
+    """Affine-element metric apply: h_i = w3[q] * C_ij[e] * g_j.
+
+    ``C6 [ne, 6]`` per-element constants, ``w3 [Q]`` quadrature-weight
+    products — same math as :func:`_apply_G6` with the rank-1 structure
+    exploited (the metric stream shrinks Q-fold)."""
+    cx, cxy, cxz = C6[:, 0:1], C6[:, 1:2], C6[:, 2:3]
+    cy, cyz, cz = C6[:, 3:4], C6[:, 4:5], C6[:, 5:6]
+    hx = (cx * gx + cxy * gy + cxz * gz) * w3
+    hy = (cxy * gx + cy * gy + cyz * gz) * w3
+    hz = (cxz * gx + cyz * gy + cz * gz) * w3
+    return jnp.stack([hx, hy, hz], axis=-2)
+
+
 class LaplacePA:
     """Matrix-free Laplace (stiffness) operator on an :class:`H1Space`.
 
@@ -227,23 +242,44 @@ class LaplacePA:
         self.Jr = jnp.asarray(_grad_interp_matrix(p, q), dtype=dtype)  # [3,Q,L]
         self.lattice = (StructuredLattice(space.struct, p)
                         if space.struct is not None else None)
+
+        # ---- compact affine metric ----
+        # For affine (parallelepiped) elements J is constant per element, so
+        # G[e,q,ij] = w3[q] * C6[e,ij] with w3 the quadrature-weight products
+        # — 6 floats/element instead of 6*Q. The [ne, Q, 6] stream is the
+        # single largest HBM read of the hot apply (~800MB at 17M dofs);
+        # dropping it takes the operator from bandwidth-bound on metrics to
+        # bandwidth-bound on the solution vector itself. Detected from the
+        # computed G so curved/isoparametric meshes fall back automatically.
+        self.C6 = None
+        self.w3 = None
+        w3 = np.einsum("c,b,a->cba", b.qwts, b.qwts, b.qwts).reshape(-1)
+        Gnp = np.asarray(self.G)
+        C = Gnp[:, :1, :] / w3[0]
+        if (np.max(np.abs(Gnp - w3[None, :, None] * C))
+                <= 1e-6 * np.max(np.abs(Gnp))):
+            self.C6 = jnp.asarray(C[:, 0, :], dtype=dtype)
+            self.w3 = jnp.asarray(w3, dtype=dtype)
+
         if mode == "pallas":
             try:
                 on_tpu = jax.devices()[0].platform == "tpu"
             except Exception:
                 on_tpu = False
             if on_tpu and jnp.dtype(dtype) == jnp.float32:
-                ne = self.G.shape[0]
-                # component-major metric layout for the kernel: [ne, 6*Q]
-                self.G6q = jnp.asarray(
-                    np.asarray(self.G).transpose(0, 2, 1).reshape(ne, -1))
+                if self.C6 is None:
+                    ne = self.G.shape[0]
+                    # component-major metric layout for the kernel: [ne, 6*Q]
+                    self.G6q = jnp.asarray(
+                        np.asarray(self.G).transpose(0, 2, 1).reshape(ne, -1))
             else:
                 self.mode = "fused"
 
     def register_params(self, bp) -> None:
         """Register large device buffers as jit arguments (see
         :mod:`lpfem.params`; avoids embedding them as HLO constants)."""
-        bp.register(self, "G", "elem_dofs", "G6q", "wdetJ", "xq", "diag")
+        bp.register(self, "G", "elem_dofs", "G6q", "C6", "wdetJ", "xq",
+                    "diag")
 
     # ------------------------------------------------------------------ apply
     def gather_E(self, x: jax.Array) -> jax.Array:
@@ -258,8 +294,12 @@ class LaplacePA:
         per-element contributions [ne, L] (the E-vector form, pre-scatter)."""
         u = self.gather_E(x)                                 # [ne, L]
         if self.mode == "pallas":
-            from .kernels.pa_apply import pa_apply_element_kernel
             Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)
+            if self.C6 is not None:
+                from .kernels.pa_apply import pa_apply_affine_kernel
+                return pa_apply_affine_kernel(u, self.C6, self.w3, Jr2,
+                                              Q=self.q ** 3)
+            from .kernels.pa_apply import pa_apply_element_kernel
             return pa_apply_element_kernel(u, self.G6q, Jr2, Q=self.q ** 3)
         if self.mode == "fused":
             # one [E, L] @ [L, 3Q] matmul (MXU), VPU elementwise G, transpose
@@ -267,7 +307,11 @@ class LaplacePA:
             g = jnp.einsum("gl,el->eg", Jr2, u)               # [ne, 3Q]
             ne = g.shape[0]
             g = g.reshape(ne, 3, self.q ** 3)
-            h = _apply_G6(self.G, g[:, 0], g[:, 1], g[:, 2])  # [ne,3,Q]
+            if self.C6 is not None:
+                h = _apply_G6_affine(self.C6, self.w3,
+                                     g[:, 0], g[:, 1], g[:, 2])
+            else:
+                h = _apply_G6(self.G, g[:, 0], g[:, 1], g[:, 2])  # [ne,3,Q]
             return jnp.einsum("gl,eg->el", Jr2, h.reshape(ne, -1))
         # sum-factorized path
         p1, q = self.p + 1, self.q
@@ -281,7 +325,11 @@ class LaplacePA:
         gx = t3(uz, B, B, D).reshape(ne, q ** 3)
         gy = t3(uz, B, D, B).reshape(ne, q ** 3)
         gz = t3(uz, D, B, B).reshape(ne, q ** 3)
-        h = _apply_G6(self.G, gx, gy, gz).reshape(ne, 3, q, q, q)
+        if self.C6 is not None:
+            h = _apply_G6_affine(self.C6, self.w3, gx, gy, gz)
+        else:
+            h = _apply_G6(self.G, gx, gy, gz)
+        h = h.reshape(ne, 3, q, q, q)
 
         def t3t(v, Az, Ay, Ax):
             return jnp.einsum("cz,by,ax,ecba->ezyx", Az, Ay, Ax, v)

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .operators import LaplacePA, _apply_G6
+from .operators import LaplacePA, _apply_G6, _apply_G6_affine
 from .problem import Problem
 from .solvers import pcg, pcg_ir
 from .timestep import rk4_run
@@ -418,8 +418,19 @@ class ShardedLevel(ShardedExchange):
         mstack[:, pt.N_max] = 1.0
 
         npdt = np.dtype(dtype)
+        self.affine = op.C6 is not None
+        if self.affine:
+            # compact affine metric (see LaplacePA): 6 floats/element +
+            # the quadrature-weight products, Q-fold less HBM per apply
+            ndev = pt.ndev
+            self.tables["C6"] = self._put(
+                pt.stack_elem(np.asarray(op.C6)).astype(npdt))
+            self.tables["w3"] = self._put(np.broadcast_to(
+                np.asarray(op.w3).astype(npdt), (ndev, self.Q)).copy())
+        else:
+            self.tables["G"] = self._put(
+                pt.stack_elem(np.asarray(op.G)).astype(npdt))
         self.tables.update({
-            "G": self._put(pt.stack_elem(np.asarray(op.G)).astype(npdt)),
             "ess": self._put(pt.stack_dof(ess_mask_g).astype(npdt)),
             "invd": self._put((1.0 / dstack).astype(npdt)),
             "invm": self._put((1.0 / mstack).astype(npdt)),
@@ -429,7 +440,11 @@ class ShardedLevel(ShardedExchange):
         """A x on owned lanes (no BC)."""
         u = self.gather_E(tb, x_own)
         g = jnp.einsum("gl,el->eg", self.Jr2, u).reshape(-1, 3, self.Q)
-        h = _apply_G6(tb["G"], g[:, 0], g[:, 1], g[:, 2])
+        if self.affine:
+            h = _apply_G6_affine(tb["C6"], tb["w3"],
+                                 g[:, 0], g[:, 1], g[:, 2])
+        else:
+            h = _apply_G6(tb["G"], g[:, 0], g[:, 1], g[:, 2])
         ye = jnp.einsum("gl,eg->el", self.Jr2, h.reshape(h.shape[0], -1))
         return self.assemble_E(tb, ye)
 
