@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: fully-fused structured-lattice Laplace apply.
+
+The complete matrix-free operator y = A x in ONE kernel — E-vector unfold,
+gradient interpolation (MXU), affine metric scaling (VPU), gradient
+transpose (MXU), and assembly fold all happen in VMEM. The XLA formulation
+(:class:`lpfem.operators.StructuredLattice` + per-element kernel) pays four
+HBM round-trips for the [ne, L] E-vectors plus a global 6D transpose whose
+small minor dimensions tile catastrophically on TPU; measured at 17M dofs
+it runs ~14x off the HBM roofline. Here HBM traffic is exactly one read of
+x, one write of y, and the compact affine metric.
+
+Layout strategy (the part that makes this TPU-fast): Mosaic supports lane
+ROLLS, 128-aligned lane splits/merges, and major-dim reshapes — but not
+the stride-p lane deinterleave a compact E-vector needs. So the kernel
+keeps the full lattice width as MXU columns: column m is the element
+window starting at lattice lane m, built with p+1 lane rolls of the
+x-window. Only columns m = p*e are real elements; the fold masks each
+node-class row to its lane residue (lane % p == lx) and rolls it back, so
+the redundant columns never reach memory. That spends p-fold extra MXU
+FLOPs to stay perfectly tiled — the MXU has the headroom (the op is
+bandwidth-bound by an order of magnitude), and every vector op runs at
+full 128-lane occupancy.
+
+One grid step per z-layer of elements; y-rows are processed in
+lane-budgeted chunks batched into single [3Q, L] x [L, cb*Dx] matmuls.
+Face dofs shared between neighboring rows/layers ride single-row adds in
+VMEM (y) and a carry across sequential grid steps (z) — the TPU grid is
+sequential, which makes cross-block accumulation safe.
+
+Replaces the hot loop of MFEM's partial assembly
+(``Solvers/PF_linear_par_partial.cpp:118-124``) for structured tank meshes;
+curved meshes fall back to the general element kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["lattice_affine_apply", "build_c6w"]
+
+
+def build_c6w(C6: np.ndarray, p: int, dims: tuple[int, int, int],
+              Dxp: int) -> np.ndarray:
+    """Host-side metric layout for the fused kernel: [nez, 6*ney, Dxp]
+    with each element's 6 constants repeated over its p lanes (column
+    m = p*e + r, r < p carries C6[e]; pad lanes carry the last value)."""
+    nex, ney, nez = dims
+    C = np.asarray(C6, dtype=np.float32).reshape(nez, ney, nex, 6)
+    Cw = np.repeat(C, p, axis=2)                       # [nez, ney, p*nex, 6]
+    pad = Dxp - p * nex
+    if pad:
+        Cw = np.concatenate([Cw, np.repeat(Cw[:, :, -1:, :], pad, axis=2)],
+                            axis=2)
+    return np.ascontiguousarray(
+        Cw.transpose(0, 1, 3, 2).reshape(nez, 6 * ney, Dxp))
+
+
+def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
+            zcarry, *, p: int, Q: int, nex: int, ney: int, cb: int,
+            Dx: int, Dxp: int, px: bool, interpret: bool):
+    p1 = p + 1
+    L = p1 ** 3
+    ez = pl.program_id(0)
+    nez = pl.num_programs(0)
+
+    def roll(v, shift, axis):
+        shift = shift % Dxp
+        if shift == 0:
+            return v
+        return jnp.roll(v, shift, axis) if interpret \
+            else pltpu.roll(v, shift, axis)
+
+    xwin = jnp.concatenate([xa_ref[:], xb_ref[:]], axis=0)  # [p1, Dy, Dxp]
+    Jr2 = jr_ref[:]                                          # [3Q, L]
+    w3 = w_ref[:]                                            # [Q, 1]
+    C = c_ref[0]                                             # [6*ney, Dxp]
+
+    # fold source mask: only columns m = p*e are real elements; rolling the
+    # masked row right by lx lands node-class lx on lattice lane p*e + lx
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Dxp), 1)
+    mask_src = (lane1 % p) == 0
+    if not px:
+        mask_src = jnp.logical_and(mask_src, lane1 <= p * (nex - 1))
+    else:
+        mask_src = jnp.logical_and(mask_src, lane1 < p * nex)
+
+    nchunk = (ney + cb - 1) // cb
+    out_rows = []                    # per y-row [p1(lz), Dxp] accumulators
+    for _ in range(p * ney + 1):
+        out_rows.append(jnp.zeros((p1, Dxp), dtype=jnp.float32))
+
+    for ch in range(nchunk):
+        e0 = ch * cb
+        cw = min(cb, ney - e0)
+        # ---- build u [L, cw*Dxp]: rows (lz, ly, lx), columns (ey, m) ----
+        pieces = []
+        for ly in range(p1):
+            # y-window rows p*(e0+j)+ly for j < cw
+            W = jnp.stack([xwin[:, p * (e0 + j) + ly, :]
+                           for j in range(cw)], axis=1)      # [p1, cw, Dxp]
+            for lx in range(p1):
+                pieces.append(roll(W, -lx, axis=2))
+        u5 = jnp.stack(pieces, axis=1)           # [p1, p1*p1, cw, Dxp]
+        u2 = u5.reshape(L, cw * Dxp)
+
+        g = jax.lax.dot_general(Jr2, u2, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        gx, gy, gz = g[:Q], g[Q:2 * Q], g[2 * Q:]
+
+        # ---- affine metric (VPU) ----
+        cs = []
+        for comp in range(6):
+            cc = jnp.stack([C[6 * (e0 + j) + comp] for j in range(cw)],
+                           axis=0)                           # [cw, Dxp]
+            cs.append(cc.reshape(1, cw * Dxp))
+        hx = (cs[0] * gx + cs[1] * gy + cs[2] * gz) * w3
+        hy = (cs[1] * gx + cs[3] * gy + cs[4] * gz) * w3
+        hz = (cs[2] * gx + cs[4] * gy + cs[5] * gz) * w3
+        h = jnp.concatenate([hx, hy, hz], axis=0)            # [3Q, cw*Dxp]
+
+        ye = jax.lax.dot_general(Jr2, h, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ye5 = ye.reshape(p1, p1 * p1, cw, Dxp)
+
+        # ---- fold: mask to real columns, roll back, accumulate rows ----
+        for ly in range(p1):
+            for lx in range(p1):
+                r = ye5[:, ly * p1 + lx, :, :]               # [p1, cw, Dxp]
+                r = roll(jnp.where(mask_src[None], r, 0.0), lx, axis=2)
+                for j in range(cw):
+                    gy_row = p * (e0 + j) + ly
+                    out_rows[gy_row] = out_rows[gy_row] + r[:, j, :]
+
+    yfull = jnp.stack(out_rows, axis=1)          # [p1, Dy, Dxp]
+
+    # ---- z-fold: layer p of block ez lands on layer 0 of block ez+1 ----
+    zc = jnp.where(ez == 0, 0.0, zcarry[:])
+    ymain_ref[:] = jnp.concatenate([yfull[0:1] + zc, yfull[1:p]], axis=0)
+    zcarry[:] = yfull[p: p + 1]
+
+    @pl.when(ez == nez - 1)
+    def _():
+        ytop_ref[:] = yfull[p: p + 1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "dims", "periodic", "interpret"))
+def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
+                         Jr2: jax.Array, *, p: int,
+                         dims: tuple[int, int, int],
+                         periodic: tuple[bool, bool],
+                         interpret: bool = False) -> jax.Array:
+    """y = A x on the structured lattice, fully fused.
+
+    x     [n_dofs]            lattice-major solution vector
+    C6w   [nez, 6*ney, Dxp]   compact metric in kernel layout (build_c6w)
+    w3col [Q, 1]              quadrature-weight products
+    Jr2   [3Q, L]             stacked gradient interpolation
+    p     polynomial order; dims = (nex, ney, nez) element lattice;
+    periodic = (x, y) wrap flags. y and z must be non-periodic (callers
+    fall back to the unfused path otherwise).
+    """
+    nex, ney, nez = dims
+    px, py = periodic
+    assert not py, "fused lattice kernel requires non-periodic y"
+    p1 = p + 1
+    Dx = p * nex + (0 if px else 1)
+    Dy = p * ney + 1
+    Dz = p * nez + 1
+    Dxp = C6w.shape[2]
+    Q = w3col.shape[0]
+    L = p1 ** 3
+    xm = x.reshape(Dz, Dy, Dx)
+    if Dxp != Dx:
+        xm = jnp.pad(xm, ((0, 0), (0, 0), (0, Dxp - Dx)))
+
+    # lane budget per matmul chunk: ~1024 columns keeps VMEM ~10MB
+    cb = max(1, min(ney, 1024 // Dxp))
+
+    kern = functools.partial(_kernel, p=p, Q=Q, nex=nex, ney=ney, cb=cb,
+                             Dx=Dx, Dxp=Dxp, px=px, interpret=interpret)
+    with jax.enable_x64(False):
+        ymain, ytop = pl.pallas_call(
+            kern,
+            grid=(nez,),
+            in_specs=[
+                pl.BlockSpec((p, Dy, Dxp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Dy, Dxp), lambda i: (i * p + p, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 6 * ney, Dxp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Q, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * Q, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((p, Dy, Dxp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Dy, Dxp), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((p * nez, Dy, Dxp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Dy, Dxp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, Dy, Dxp), jnp.float32),   # z carry
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * nez * ney * Dxp * L * 3 * Q,
+                bytes_accessed=4 * (2 * Dz * Dy * Dxp + nez * ney * 6 * Dxp),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(xm.astype(jnp.float32), xm.astype(jnp.float32),
+          C6w.astype(jnp.float32), w3col.astype(jnp.float32),
+          Jr2.astype(jnp.float32))
+    y = jnp.concatenate([ymain, ytop], axis=0)
+    if Dxp != Dx:
+        y = y[:, :, :Dx]
+    return y.reshape(-1)

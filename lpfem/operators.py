@@ -274,12 +274,37 @@ class LaplacePA:
                         np.asarray(self.G).transpose(0, 2, 1).reshape(ne, -1))
             else:
                 self.mode = "fused"
+        self._init_fused_lattice()
+
+    def _init_fused_lattice(self, force: bool = False) -> None:
+        """Enable the fully-fused lattice kernel (kernels/lattice_apply)
+        when the operator qualifies: pallas mode, f32, affine metric,
+        structured lattice, p >= 2, non-periodic z. ``force`` enables it
+        regardless of mode/backend (used by tests in interpret mode)."""
+        self.C6r = None
+        self._fused_interpret = force
+        st = self.space.struct
+        ok = ((force or self.mode == "pallas")
+              and self.C6 is not None and st is not None and self.p >= 2
+              and not st.periodic[1] and not st.periodic[2])
+        if not ok:
+            return
+        from .kernels.lattice_apply import build_c6w
+        nex, ney, nez = st.elem_dims
+        p = self.p
+        Dx = p * nex + (0 if st.periodic[0] else 1)
+        self.C6r = jnp.asarray(build_c6w(np.asarray(self.C6), p,
+                                         (nex, ney, nez), Dx))
+        self._w3col = jnp.asarray(
+            np.asarray(self.w3, dtype=np.float32).reshape(-1, 1))
+        self._lat_dims = (nex, ney, nez)
+        self._lat_periodic = (bool(st.periodic[0]), bool(st.periodic[1]))
 
     def register_params(self, bp) -> None:
         """Register large device buffers as jit arguments (see
         :mod:`lpfem.params`; avoids embedding them as HLO constants)."""
-        bp.register(self, "G", "elem_dofs", "G6q", "C6", "wdetJ", "xq",
-                    "diag")
+        bp.register(self, "G", "elem_dofs", "G6q", "C6", "C6r", "wdetJ",
+                    "xq", "diag")
 
     # ------------------------------------------------------------------ apply
     def gather_E(self, x: jax.Array) -> jax.Array:
@@ -340,6 +365,13 @@ class LaplacePA:
 
     def apply(self, x: jax.Array) -> jax.Array:
         """y = A x on global dofs."""
+        if self.C6r is not None:
+            from .kernels.lattice_apply import lattice_affine_apply
+            Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)
+            return lattice_affine_apply(
+                x.astype(jnp.float32), self.C6r, self._w3col, Jr2,
+                p=self.p, dims=self._lat_dims, periodic=self._lat_periodic,
+                interpret=self._fused_interpret).astype(self.dtype)
         return self.assemble(self.apply_local(x))
 
     def assemble(self, ye: jax.Array) -> jax.Array:
