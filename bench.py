@@ -73,6 +73,7 @@ def main() -> None:
     for f in sorted(glob.glob("BENCH_r*.json")):
         try:
             rec = json.load(open(f))
+            rec = rec.get("parsed", rec)   # driver wraps the bench line
             if rec.get("metric") == "laplace_dof_throughput":
                 prev = rec.get("value")
         except Exception:
