@@ -45,6 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["lattice_affine_apply", "build_c6w"]
 
 
+def aligned_lanes(Dx: int) -> int:
+    """Lane count padded to the vreg width — Mosaic minor-dim splits and
+    merges require 128-multiple minors."""
+    return max(128, -(-Dx // 128) * 128)
+
+
 def build_c6w(C6: np.ndarray, p: int, dims: tuple[int, int, int],
               Dxp: int) -> np.ndarray:
     """Host-side metric layout for the fused kernel: [nez, 6*ney, Dxp]
@@ -63,7 +69,7 @@ def build_c6w(C6: np.ndarray, p: int, dims: tuple[int, int, int],
 
 def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
             zcarry, *, p: int, Q: int, nex: int, ney: int, cb: int,
-            Dx: int, Dxp: int, px: bool, interpret: bool):
+            Dx: int, Dxp: int, px: bool, ess_top: bool, interpret: bool):
     p1 = p + 1
     L = p1 ** 3
     ez = pl.program_id(0)
@@ -76,7 +82,15 @@ def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
         return jnp.roll(v, shift, axis) if interpret \
             else pltpu.roll(v, shift, axis)
 
-    xwin = jnp.concatenate([xa_ref[:], xb_ref[:]], axis=0)  # [p1, Dy, Dxp]
+    xb = xb_ref[:]
+    if ess_top:
+        # in-kernel essential-dof constraint (ess == the top z-plane, the
+        # free surface): zero the Dirichlet row on input, write identity on
+        # output — replaces two full masking passes over x and y in HBM
+        xb_c = jnp.where(ez == nez - 1, 0.0, xb)
+    else:
+        xb_c = xb
+    xwin = jnp.concatenate([xa_ref[:], xb_c], axis=0)       # [p1, Dy, Dxp]
     Jr2 = jr_ref[:]                                          # [3Q, L]
     w3 = w_ref[:]                                            # [Q, 1]
     C = c_ref[0]                                             # [6*ney, Dxp]
@@ -105,7 +119,13 @@ def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
             W = jnp.stack([xwin[:, p * (e0 + j) + ly, :]
                            for j in range(cw)], axis=1)      # [p1, cw, Dxp]
             for lx in range(p1):
-                pieces.append(roll(W, -lx, axis=2))
+                piece = roll(W, -lx, axis=2)
+                if px and lx == p and Dxp != p * nex:
+                    # padded periodic x: the last element's node p wraps to
+                    # lattice lane 0, which the padded roll cannot supply
+                    piece = jnp.where(lane1 == p * (nex - 1),
+                                      W[:, :, 0:1], piece)
+                pieces.append(piece)
         u5 = jnp.stack(pieces, axis=1)           # [p1, p1*p1, cw, Dxp]
         u2 = u5.reshape(L, cw * Dxp)
 
@@ -132,7 +152,14 @@ def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
         for ly in range(p1):
             for lx in range(p1):
                 r = ye5[:, ly * p1 + lx, :, :]               # [p1, cw, Dxp]
-                r = roll(jnp.where(mask_src[None], r, 0.0), lx, axis=2)
+                rm = jnp.where(mask_src[None], r, 0.0)
+                r = roll(rm, lx, axis=2)
+                if px and lx == p and Dxp != p * nex:
+                    # padded periodic x: node p of the last element folds
+                    # onto lattice lane 0 (lost to the pad by the roll)
+                    r = jnp.where(
+                        lane1 == 0,
+                        r + rm[:, :, p * (nex - 1): p * (nex - 1) + 1], r)
                 for j in range(cw):
                     gy_row = p * (e0 + j) + ly
                     out_rows[gy_row] = out_rows[gy_row] + r[:, j, :]
@@ -141,20 +168,24 @@ def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
 
     # ---- z-fold: layer p of block ez lands on layer 0 of block ez+1 ----
     zc = jnp.where(ez == 0, 0.0, zcarry[:])
-    ymain_ref[:] = jnp.concatenate([yfull[0:1] + zc, yfull[1:p]], axis=0)
+    r0z = yfull[0:1] + zc
+    ymain_ref[:] = (jnp.concatenate([r0z, yfull[1:p]], axis=0)
+                    if p > 1 else r0z)
     zcarry[:] = yfull[p: p + 1]
 
     @pl.when(ez == nez - 1)
     def _():
-        ytop_ref[:] = yfull[p: p + 1]
+        # identity row on the Dirichlet plane when the constraint is fused
+        ytop_ref[:] = xb if ess_top else yfull[p: p + 1]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "dims", "periodic", "interpret"))
+    "p", "dims", "periodic", "ess_top", "interpret"))
 def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
                          Jr2: jax.Array, *, p: int,
                          dims: tuple[int, int, int],
                          periodic: tuple[bool, bool],
+                         ess_top: bool = False,
                          interpret: bool = False) -> jax.Array:
     """y = A x on the structured lattice, fully fused.
 
@@ -184,7 +215,8 @@ def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
     cb = max(1, min(ney, 1024 // Dxp))
 
     kern = functools.partial(_kernel, p=p, Q=Q, nex=nex, ney=ney, cb=cb,
-                             Dx=Dx, Dxp=Dxp, px=px, interpret=interpret)
+                             Dx=Dx, Dxp=Dxp, px=px, ess_top=ess_top,
+                             interpret=interpret)
     with jax.enable_x64(False):
         ymain, ytop = pl.pallas_call(
             kern,

@@ -175,6 +175,8 @@ class _Level:
     def __init__(self, op: LaplacePA, ess: np.ndarray):
         self.op = op
         self.ess = jnp.asarray(ess.astype(np.int32))
+        if hasattr(op, "enable_top_plane_ess"):
+            op.enable_top_plane_ess(ess)   # in-kernel constraint fast path
         n = op.n_dofs
         free = np.ones(n)
         free[ess] = 0.0
@@ -184,6 +186,8 @@ class _Level:
         self.inv_mult = jnp.asarray(1.0 / op.space.node_mult, dtype=op.dtype)
 
     def apply_c(self, x):
+        if getattr(self.op, "_ess_top", False):
+            return self.op.constrained_apply(x, self.ess)
         y = self.op.apply(x * self.free)
         return y * self.free + x * (1.0 - self.free)
 
@@ -275,7 +279,7 @@ class PMultigrid:
                     or hs.struct.dof_dims != sp_b.struct.dof_dims
                     or hs.n_dofs != bot.op.n_dofs):
                 break
-            op_c = LaplacePA(sp_c, dtype=fine_op.dtype, mode="fused")
+            op_c = LaplacePA(sp_c, dtype=fine_op.dtype, mode=fine_op.mode)
             lvl_c = _Level(op_c, _top_plane_dofs(sp_c.struct))
             from .operators import StructuredLattice
             lat = StructuredLattice(hs.struct, 2)

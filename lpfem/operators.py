@@ -282,19 +282,21 @@ class LaplacePA:
         structured lattice, p >= 2, non-periodic z. ``force`` enables it
         regardless of mode/backend (used by tests in interpret mode)."""
         self.C6r = None
+        self._ess_top = False
         self._fused_interpret = force
         st = self.space.struct
         ok = ((force or self.mode == "pallas")
-              and self.C6 is not None and st is not None and self.p >= 2
+              and self.C6 is not None and st is not None
               and not st.periodic[1] and not st.periodic[2])
         if not ok:
             return
-        from .kernels.lattice_apply import build_c6w
+        from .kernels.lattice_apply import aligned_lanes, build_c6w
         nex, ney, nez = st.elem_dims
         p = self.p
         Dx = p * nex + (0 if st.periodic[0] else 1)
         self.C6r = jnp.asarray(build_c6w(np.asarray(self.C6), p,
-                                         (nex, ney, nez), Dx))
+                                         (nex, ney, nez),
+                                         aligned_lanes(Dx)))
         self._w3col = jnp.asarray(
             np.asarray(self.w3, dtype=np.float32).reshape(-1, 1))
         self._lat_dims = (nex, ney, nez)
@@ -397,9 +399,32 @@ class LaplacePA:
         return self.assemble(d_e)
 
     # ---------------------------------------------------- essential-dof forms
+    def enable_top_plane_ess(self, ess_dofs) -> bool:
+        """Enable the in-kernel essential-dof constraint when ``ess_dofs``
+        is exactly the top z-plane of the structured lattice (the free
+        surface — true for every tank problem). ``constrained_apply`` then
+        runs as ONE fused kernel call with zero extra masking passes; the
+        caller promises to always pass the same essential set."""
+        st = self.space.struct
+        if self.C6r is None or st is None:
+            return False
+        Dx, Dy, Dz = st.dof_dims
+        top = Dx * Dy * (Dz - 1) + np.arange(Dx * Dy)
+        if np.array_equal(np.sort(np.asarray(ess_dofs)), top):
+            self._ess_top = True
+        return self._ess_top
+
     def constrained_apply(self, x: jax.Array, ess: jax.Array) -> jax.Array:
         """Apply with identity rows/cols on essential dofs (the operator
         ``FormLinearSystem`` produces)."""
+        if self._ess_top:
+            from .kernels.lattice_apply import lattice_affine_apply
+            Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)
+            return lattice_affine_apply(
+                x.astype(jnp.float32), self.C6r, self._w3col, Jr2,
+                p=self.p, dims=self._lat_dims, periodic=self._lat_periodic,
+                ess_top=True,
+                interpret=self._fused_interpret).astype(self.dtype)
         x0 = x.at[ess].set(0.0)
         y = self.apply(x0)
         return y.at[ess].set(x[ess])

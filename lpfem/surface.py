@@ -140,6 +140,8 @@ class FreeSurfaceOperator:
         if len(np.unique(s2v)) != len(s2v):
             raise AssertionError("surface->volume dof map is not injective")
         self.ess = jnp.asarray(s2v.astype(np.int32))
+        if hasattr(op, "enable_top_plane_ess"):
+            op.enable_top_plane_ess(s2v)   # in-kernel constraint fast path
         self.zderiv = NodalZDerivative(op_hi if op_hi is not None else op)
         # Jacobi preconditioner diagonal with identity on essential dofs
         diag_c = op.diag.at[self.ess].set(1.0)
