@@ -69,7 +69,15 @@ def main():
     ap.add_argument("--apply-mode", default="pallas",
                     help="pallas | fused | sumfact")
     ap.add_argument("--cheb-degree", type=int, default=3)
-    ap.add_argument("--rim-tol", type=float, default=5e-3)
+    ap.add_argument("--rim-tol", type=float, default=1e-9,
+                    help="|r-a| tolerance for rim-node extraction. The polar "
+                         "mesh's innermost ring (and a curvature-snapped "
+                         "Gmsh rim) sits on r=a to roundoff, so the default "
+                         "keeps EXACTLY the rim ring; the reference's loose "
+                         "5e-3 band (cylinder-diffraction.cpp:483) also "
+                         "catches first-interior GLL nodes (~1.1e-3 off the "
+                         "rim at p=4), which shows up as paired-point "
+                         "spikes in eta(theta)")
     ap.add_argument("--lateral", choices=["incident", "zero"], default="incident",
                     help="lateral-zone relaxation target. 'zero' damps the "
                          "TOTAL field like the reference (cylinder-"

@@ -57,6 +57,8 @@ class Config:
     cg_max_iter: int = 400
     precond: str = "jacobi"              # jacobi | chebyshev | pmg
     cheb_degree: int = 3                 # smoother degree (chebyshev / pmg)
+    h_coarsen_min_dofs: int = 20000      # pmg: h-coarsen below p=1 while the
+                                         # bottom level is larger than this
     # ---- distributed runtime ----
     shard_exchange: str = "auto"         # auto | ppermute | psum: interface
                                          # halo exchange as neighbor ppermute

@@ -67,9 +67,24 @@ def build_c6w(C6: np.ndarray, p: int, dims: tuple[int, int, int],
         Cw.transpose(0, 1, 3, 2).reshape(nez, 6 * ney, Dxp))
 
 
-def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
-            zcarry, *, p: int, Q: int, nex: int, ney: int, cb: int,
-            Dx: int, Dxp: int, px: bool, ess_top: bool, interpret: bool):
+def _kernel(*refs, p: int, Q: int, nex: int, ney: int, cb: int,
+            Dx: int, Dxp: int, px: bool, ess_top: bool, shard: bool,
+            interpret: bool):
+    if shard:
+        # shard mode (one z-slab of the global lattice per device; see
+        # lpfem.shard): scal = [topb, own0] — topb is the local block index
+        # whose upper plane is the global Dirichlet top plane (-1: no
+        # constraint on this device / unconstrained apply), own0 whether
+        # this device owns its window's plane 0 (device 0 of the slab
+        # decomposition; otherwise plane 0 is the lower neighbor's halo,
+        # injected from p0_ref and emitted to yhalo_ref).
+        (scal_ref, xa_ref, xb_ref, c_ref, w_ref, jr_ref, p0_ref,
+         ymain_ref, ytop_ref, yhalo_ref, zcarry) = refs
+        topb = scal_ref[0]
+        own0 = scal_ref[1]
+    else:
+        (xa_ref, xb_ref, c_ref, w_ref, jr_ref,
+         ymain_ref, ytop_ref, zcarry) = refs
     p1 = p + 1
     L = p1 ** 3
     ez = pl.program_id(0)
@@ -83,14 +98,23 @@ def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
             else pltpu.roll(v, shift, axis)
 
     xb = xb_ref[:]
-    if ess_top:
+    if shard:
+        xb_c = jnp.where(ez == topb, 0.0, xb)
+    elif ess_top:
         # in-kernel essential-dof constraint (ess == the top z-plane, the
         # free surface): zero the Dirichlet row on input, write identity on
         # output — replaces two full masking passes over x and y in HBM
         xb_c = jnp.where(ez == nez - 1, 0.0, xb)
     else:
         xb_c = xb
-    xwin = jnp.concatenate([xa_ref[:], xb_c], axis=0)       # [p1, Dy, Dxp]
+    xa = xa_ref[:]
+    if shard:
+        # halo-plane injection: window plane 0 is a pad slot in the owned
+        # vector for devices with a lower neighbor — read the exchanged
+        # value instead (zero extra HBM passes vs. materializing the window)
+        first = jnp.where((ez == 0) & (own0 == 0), p0_ref[:], xa[0:1])
+        xa = jnp.concatenate([first, xa[1:]], axis=0) if p > 1 else first
+    xwin = jnp.concatenate([xa, xb_c], axis=0)              # [p1, Dy, Dxp]
     Jr2 = jr_ref[:]                                          # [3Q, L]
     w3 = w_ref[:]                                            # [Q, 1]
     C = c_ref[0]                                             # [6*ney, Dxp]
@@ -169,14 +193,36 @@ def _kernel(xa_ref, xb_ref, c_ref, w_ref, jr_ref, ymain_ref, ytop_ref,
     # ---- z-fold: layer p of block ez lands on layer 0 of block ez+1 ----
     zc = jnp.where(ez == 0, 0.0, zcarry[:])
     r0z = yfull[0:1] + zc
-    ymain_ref[:] = (jnp.concatenate([r0z, yfull[1:p]], axis=0)
-                    if p > 1 else r0z)
-    zcarry[:] = yfull[p: p + 1]
+    if shard:
+        # plane-0 contributions route to the halo output when not owned
+        # (the neighbor-owner assembles them); zeroed in the main output so
+        # pad slots of the owned vector stay exactly zero
+        r0z_main = jnp.where((ez == 0) & (own0 == 0), 0.0, r0z)
+
+        @pl.when(ez == 0)
+        def _():
+            yhalo_ref[:] = jnp.where(own0 == 0, r0z, 0.0)
+    else:
+        r0z_main = r0z
+    ymain_ref[:] = (jnp.concatenate([r0z_main, yfull[1:p]], axis=0)
+                    if p > 1 else r0z_main)
+    zc_next = yfull[p: p + 1]
+    if shard:
+        # constrained mode on a padded slab: the identity row of the global
+        # top plane rides the carry — the (zero-metric) pad block above
+        # flushes it into its plane 0 untouched
+        zc_next = jnp.where(ez == topb, xb, zc_next)
+    zcarry[:] = zc_next
 
     @pl.when(ez == nez - 1)
     def _():
         # identity row on the Dirichlet plane when the constraint is fused
-        ytop_ref[:] = xb if ess_top else yfull[p: p + 1]
+        if shard:
+            ytop_ref[:] = jnp.where(topb == nez - 1, xb, yfull[p: p + 1])
+        elif ess_top:
+            ytop_ref[:] = xb
+        else:
+            ytop_ref[:] = yfull[p: p + 1]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -186,7 +232,9 @@ def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
                          dims: tuple[int, int, int],
                          periodic: tuple[bool, bool],
                          ess_top: bool = False,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         shard_scal: jax.Array | None = None,
+                         p0: jax.Array | None = None):
     """y = A x on the structured lattice, fully fused.
 
     x     [n_dofs]            lattice-major solution vector
@@ -196,10 +244,21 @@ def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
     p     polynomial order; dims = (nex, ney, nez) element lattice;
     periodic = (x, y) wrap flags. y and z must be non-periodic (callers
     fall back to the unfused path otherwise).
+
+    Shard mode (``shard_scal``/``p0`` given): runs one z-slab of a sharded
+    lattice (see :mod:`lpfem.shard`). ``shard_scal = [topb, own0]`` int32 —
+    ``topb`` the local block whose upper plane is the global Dirichlet
+    plane (-1 for an unconstrained apply), ``own0`` whether this device
+    owns its window's plane 0. ``p0 [1, Dy, Dx]`` is the exchanged halo
+    plane injected as window plane 0 when ``own0 == 0``. Returns
+    ``(y [n], yhalo [Dy*Dx])`` where plane-0 contributions live in
+    ``yhalo`` (zeroed inside ``y``) for the caller to assemble onto the
+    lower neighbor.
     """
     nex, ney, nez = dims
     px, py = periodic
     assert not py, "fused lattice kernel requires non-periodic y"
+    shard = shard_scal is not None
     p1 = p + 1
     Dx = p * nex + (0 if px else 1)
     Dy = p * ney + 1
@@ -210,52 +269,84 @@ def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
     xm = x.reshape(Dz, Dy, Dx)
     if Dxp != Dx:
         xm = jnp.pad(xm, ((0, 0), (0, 0), (0, Dxp - Dx)))
+        if shard:
+            p0 = jnp.pad(p0, ((0, 0), (0, 0), (0, Dxp - Dx)))
 
     # lane budget per matmul chunk: ~1024 columns keeps VMEM ~10MB
     cb = max(1, min(ney, 1024 // Dxp))
 
     kern = functools.partial(_kernel, p=p, Q=Q, nex=nex, ney=ney, cb=cb,
                              Dx=Dx, Dxp=Dxp, px=px, ess_top=ess_top,
-                             interpret=interpret)
+                             shard=shard, interpret=interpret)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * nez * ney * Dxp * L * 3 * Q,
+        bytes_accessed=4 * (2 * Dz * Dy * Dxp + nez * ney * 6 * Dxp),
+        transcendentals=0,
+    )
+    in_specs = [
+        pl.BlockSpec((p, Dy, Dxp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dy, Dxp), lambda i: (i * p + p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 6 * ney, Dxp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Q, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * Q, L), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((p, Dy, Dxp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Dy, Dxp), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((p * nez, Dy, Dxp), jnp.float32),
+        jax.ShapeDtypeStruct((1, Dy, Dxp), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((1, Dy, Dxp), jnp.float32)]   # z carry
+    args = (xm.astype(jnp.float32), xm.astype(jnp.float32),
+            C6w.astype(jnp.float32), w3col.astype(jnp.float32),
+            Jr2.astype(jnp.float32))
     with jax.enable_x64(False):
-        ymain, ytop = pl.pallas_call(
-            kern,
-            grid=(nez,),
-            in_specs=[
-                pl.BlockSpec((p, Dy, Dxp), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Dy, Dxp), lambda i: (i * p + p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 6 * ney, Dxp), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Q, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * Q, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((p, Dy, Dxp), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Dy, Dxp), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((p * nez, Dy, Dxp), jnp.float32),
-                jax.ShapeDtypeStruct((1, Dy, Dxp), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((1, Dy, Dxp), jnp.float32),   # z carry
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=2 * 2 * nez * ney * Dxp * L * 3 * Q,
-                bytes_accessed=4 * (2 * Dz * Dy * Dxp + nez * ney * 6 * Dxp),
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(xm.astype(jnp.float32), xm.astype(jnp.float32),
-          C6w.astype(jnp.float32), w3col.astype(jnp.float32),
-          Jr2.astype(jnp.float32))
+        if shard:
+            # scalar-prefetch grid spec: index maps gain the scalar ref arg
+            in_specs = ([pl.BlockSpec(s.block_shape,
+                                      (lambda m: lambda i, _s: m(i))(
+                                          s.index_map),
+                                      memory_space=pltpu.VMEM)
+                         for s in in_specs]
+                        + [pl.BlockSpec((1, Dy, Dxp), lambda i, _s: (0, 0, 0),
+                                        memory_space=pltpu.VMEM)])
+            out_specs = [pl.BlockSpec(s.block_shape,
+                                      (lambda m: lambda i, _s: m(i))(
+                                          s.index_map),
+                                      memory_space=pltpu.VMEM)
+                         for s in out_specs]
+            out_specs.append(pl.BlockSpec((1, Dy, Dxp),
+                                          lambda i, _s: (0, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((1, Dy, Dxp), jnp.float32))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(nez,),
+                in_specs=in_specs, out_specs=out_specs,
+                scratch_shapes=scratch)
+            ymain, ytop, yhalo = pl.pallas_call(
+                kern, grid_spec=grid_spec, out_shape=out_shape,
+                cost_estimate=cost, interpret=interpret,
+            )(shard_scal.astype(jnp.int32), *args, p0.astype(jnp.float32))
+        else:
+            ymain, ytop = pl.pallas_call(
+                kern, grid=(nez,), in_specs=in_specs, out_specs=out_specs,
+                out_shape=out_shape, scratch_shapes=scratch,
+                cost_estimate=cost, interpret=interpret,
+            )(*args)
     y = jnp.concatenate([ymain, ytop], axis=0)
     if Dxp != Dx:
         y = y[:, :, :Dx]
+        if shard:
+            yhalo = yhalo[:, :, :Dx]
+    if shard:
+        return y.reshape(-1), yhalo.reshape(-1)
     return y.reshape(-1)

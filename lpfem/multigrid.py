@@ -146,6 +146,10 @@ def _coarsen_structured_mesh(space: H1Space):
     nex, ney, nez = st.elem_dims
     if nex % 2 or ney % 2 or nez % 2:
         return None
+    # a periodic axis below 3 coarse elements has multiply-adjacent faces,
+    # which the p>=2 'via' space's topological numbering cannot represent
+    if any(st.periodic[a] and st.elem_dims[a] // 2 < 3 for a in range(3)):
+        return None
     mesh = space.mesh
     elems = mesh.elems.reshape(nez, ney, nex, 8)
     cc = mesh.corner_coords.reshape(nez, ney, nex, 8, 3)

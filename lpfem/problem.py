@@ -112,6 +112,7 @@ class Problem:
         elif cfg.precond == "pmg":
             from .multigrid import PMultigrid
             precond_fn = PMultigrid(self.op, smooth_degree=cfg.cheb_degree,
+                                    h_coarsen_min_dofs=cfg.h_coarsen_min_dofs,
                                     ess_dofs=np.asarray(self.surf.surf_to_vol))
         elif cfg.precond == "chebyshev":
             from .multigrid import ChebyshevSmoother, estimate_lmax

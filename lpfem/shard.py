@@ -76,27 +76,78 @@ def sharded_put(mesh: Mesh):
     return put
 
 
+def _zslab_layers(part: np.ndarray, elem_dims, ndev: int):
+    """Per-device ``(ez0, n_layers)`` if ``part`` is a contiguous z-layer slab
+    partition of the element lattice (every device owns whole, consecutive
+    element layers, each at least one), else ``None``."""
+    nex, ney, nez = elem_dims
+    if len(part) != nex * ney * nez:
+        return None
+    p3 = part.reshape(nez, ney, nex)
+    layer_dev = p3[:, 0, 0]
+    if not np.all(p3 == layer_dev[:, None, None]):
+        return None
+    if np.any(np.diff(layer_dev) != np.clip(np.diff(layer_dev), 0, 1)):
+        return None
+    nlay = np.bincount(layer_dev, minlength=ndev)
+    if len(nlay) != ndev or np.any(nlay < 1):
+        return None
+    ez0 = np.concatenate([[0], np.cumsum(nlay)[:-1]])
+    return ez0, nlay
+
+
 class Partition:
     """Host-side partition tables for an :class:`H1Space` over ``ndev`` shards.
 
     ``part`` (element -> device) may be supplied so multiple spaces (the MG
     level hierarchy) share one element decomposition.
+
+    ``layout`` selects the per-device dof numbering:
+
+    - ``"compact"`` — owner-major contiguous blocks (global-order stable).
+    - ``"lattice"`` — *window* layout on structured spaces partitioned into
+      z-layer slabs: each device's owned block is laid out as its local
+      sub-lattice ``[p*nez_loc+1, Dy, Dx]`` (plane 0 = the halo plane owned
+      by the lower neighbor, real for device 0; trailing planes = padding on
+      devices with fewer layers). The owned vector then *is* the fused
+      lattice kernel's input window up to one halo-plane injection — no
+      irregular gathers anywhere on the sharded hot path (the reason the
+      reference's fastest assembly mode runs under MPI,
+      ``Solvers/PF_linear_par_partial.cpp:118-124``).
+    - ``"auto"`` — lattice when the space qualifies, else compact.
+
+    ``lat_loc=(loc_of_dof, N_max, win)`` force-inherits a window layout from
+    another Partition sharing the same dof lattice (the MG h-transfer 'via'
+    space).
     """
 
     def __init__(self, space, ndev: int, part: np.ndarray | None = None,
-                 owner: np.ndarray | None = None):
+                 owner: np.ndarray | None = None, layout: str = "auto",
+                 lat_loc: tuple | None = None):
         self.ndev = ndev
         ed = space.elem_dofs
         ne, L = ed.shape
         n = space.n_dofs
+        st = getattr(space, "struct", None)
 
         if part is None:
-            # contiguous slabs by element centroid (x, y, z)-major
-            cen = space.mesh.corner_coords.mean(axis=1)
-            order = np.lexsort((cen[:, 2], cen[:, 1], cen[:, 0]))
-            part = np.zeros(ne, dtype=np.int64)
-            for d, idx in enumerate(np.array_split(order, ndev)):
-                part[idx] = d
+            zslab = (layout in ("auto", "lattice") and st is not None
+                     and not st.periodic[2] and st.elem_dims[2] >= ndev)
+            if zslab:
+                # contiguous z-layer slabs (larger slabs first so device 0
+                # always carries the padded layer count)
+                nex, ney, nez = st.elem_dims
+                layer_of = np.zeros(nez, dtype=np.int64)
+                for d, idx in enumerate(np.array_split(np.arange(nez), ndev)):
+                    layer_of[idx] = d
+                part = np.repeat(layer_of, ney * nex)
+            else:
+                # contiguous slabs by element centroid (x, y, z)-major
+                cen = space.mesh.corner_coords.mean(axis=1)
+                order = np.lexsort((cen[:, 2], cen[:, 1], cen[:, 0]))
+                part = np.zeros(ne, dtype=np.int64)
+                for d, idx in enumerate(np.array_split(order, ndev)):
+                    part[idx] = d
         self.part = part
 
         # --- dof ownership: min / max device touching each dof ---
@@ -117,15 +168,47 @@ class Partition:
         iface = (pmin != owner) | (pmax != owner)
         self.n_iface = int(iface.sum())
 
-        # owner-major renumbering; local index within owner block
-        new_of_old = np.argsort(np.argsort(owner, kind="stable"), kind="stable")
         n_own = np.bincount(owner, minlength=ndev)
         self.n_own = n_own
-        offs = np.concatenate([[0], np.cumsum(n_own)])
-        loc_of_dof = new_of_old - offs[owner]
-        self.N_max = int(n_own.max())
-        self.loc_of_dof = loc_of_dof
-        self.offs = offs
+        self.win = None
+        sl = (_zslab_layers(np.asarray(part), st.elem_dims, ndev)
+              if (st is not None and layout != "compact"
+                  and not st.periodic[2]) else None)
+        if lat_loc is not None:
+            # inherited window layout (the h-transfer 'via' space shares the
+            # fine level's dof lattice; see ShardedPMG)
+            loc_of_dof, self.N_max, self.win = lat_loc
+            self.loc_of_dof = loc_of_dof
+        elif sl is not None and owner is pmin:
+            # ---- lattice (window) layout over z-layer slabs ----
+            ez0, nlay = sl
+            p = space.p
+            Dx, Dy, Dz = st.dof_dims
+            plane = Dx * Dy
+            nez_loc = int(nlay.max())
+            # device 0 must carry the padded layer count: its window holds
+            # the extra z=0 plane, making N_max == its own count
+            assert nlay[0] == nez_loc, "z-slab split must put large slabs first"
+            z = np.arange(n) // plane
+            rem = np.arange(n) % plane
+            loc_of_dof = (z - p * ez0[owner]) * plane + rem
+            self.N_max = (p * nez_loc + 1) * plane
+            assert np.all((loc_of_dof >= 0) & (loc_of_dof < self.N_max))
+            self.loc_of_dof = loc_of_dof
+            self.win = {
+                "p": p, "dims": (st.elem_dims[0], st.elem_dims[1], nez_loc),
+                "ez0": ez0, "nlay": nlay, "Dx": Dx, "Dy": Dy,
+                "Dz_win": p * nez_loc + 1, "plane": plane,
+                "periodic": (bool(st.periodic[0]), bool(st.periodic[1])),
+            }
+        else:
+            # ---- compact layout: owner-major contiguous blocks ----
+            new_of_old = np.argsort(np.argsort(owner, kind="stable"),
+                                    kind="stable")
+            offs = np.concatenate([[0], np.cumsum(n_own)])
+            loc_of_dof = new_of_old - offs[owner]
+            self.N_max = int(n_own.max())
+            self.loc_of_dof = loc_of_dof
 
         # interface set S (order: by dof id)
         s_ids = np.where(iface)[0]
@@ -235,6 +318,44 @@ class ShardedExchange:
         elif exchange == "ppermute":
             raise ValueError("partition is not neighbor-only; ppermute "
                              "exchange unavailable (use 'auto' or 'psum')")
+        self.win = pt.win
+        self._lat = None
+        if self.win is not None:
+            self._init_window()
+
+    def _init_window(self) -> None:
+        """Window-layout machinery: on the lattice dof layout each device's
+        owned vector reshapes directly to its local sub-lattice, the halo is
+        exactly the window's plane 0 (in plane order), and E-vector
+        gather/scatter runs through :class:`~lpfem.operators.StructuredLattice`
+        fold/unfold — no [E_max, L] irregular gathers on the sharded path."""
+        from .operators import StructuredLattice
+        from .space import StructuredInfo
+        w = self.win
+        pt = self.pt
+        ndev = pt.ndev
+        nex, ney, nez_loc = w["dims"]
+        st_loc = StructuredInfo(
+            dof_dims=(w["Dx"], w["Dy"], w["Dz_win"]),
+            elem_dims=(nex, ney, nez_loc),
+            periodic=(w["periodic"][0], w["periodic"][1], False))
+        self._lat = StructuredLattice(st_loc, w["p"])
+        assert self._lat.ne == pt.E_max, (self._lat.ne, pt.E_max)
+        assert self.N_max == w["Dz_win"] * w["plane"]
+        # the halo segment must be exactly the window's plane 0 in plane
+        # order for every device with a lower neighbor (guaranteed for
+        # z-slab partitions with min-owner dofs; asserted at build time)
+        ed = pt.elem_dofs_global
+        for d in range(1, ndev):
+            dofs = np.unique(ed[pt.elems_of[d]])
+            halo = dofs[pt.owner[dofs] != d]
+            z0 = w["p"] * w["ez0"][d]
+            expect = z0 * w["plane"] + np.arange(w["plane"])
+            assert np.array_equal(halo, expect), \
+                "window layout requires plane-order halos"
+        own0 = np.zeros((ndev, 1), dtype=np.int32)
+        own0[0] = 1
+        self.tables["ko"] = self._put(own0)
 
     def _build_neighbor_tables(self) -> bool:
         """Neighbor (ppermute) exchange tables for slab partitions.
@@ -347,42 +468,90 @@ class ShardedExchange:
             return [(0, ndev - 1)]
         return [(ndev - 1, 0)]            # wrap_rev
 
-    def gather_loc(self, tb, x_own):
+    def gather_halo(self, tb, x_own):
+        """The received halo values [H_max] (halo-id order) for this shard —
+        the owner-broadcast direction of the interface exchange."""
         if self.exchange == "ppermute":
             rf = jax.lax.ppermute(x_own[tb["gslf"]], self.axis,
                                   self._perm("fwd"))
             rw = jax.lax.ppermute(x_own[tb["gslw"]], self.axis,
                                   self._perm("wrap"))
             buf = jnp.concatenate([rf, rw, jnp.zeros(1, dtype=x_own.dtype)])
-            halo = buf[tb["hr"]]
-            return jnp.concatenate([x_own, halo,
-                                    jnp.zeros(1, dtype=x_own.dtype)])
+            return buf[tb["hr"]]
         buf = jnp.zeros(self.NS + 1, dtype=x_own.dtype)
         buf = buf.at[tb["oip"]].set(x_own[tb["oil"]])
         buf = self._psum(buf)
-        halo = buf[tb["hp"]]
+        return buf[tb["hp"]]
+
+    def gather_loc(self, tb, x_own):
+        halo = self.gather_halo(tb, x_own)
         return jnp.concatenate([x_own, halo, jnp.zeros(1, dtype=x_own.dtype)])
 
-    def assemble_own(self, tb, y_loc):
-        y_own = y_loc[: self.N_max + 1]
-        y_halo = y_loc[self.N_max + 1: self.N_max + 1 + self.H_max]
+    def assemble_halo(self, tb, y_own, y_halo):
+        """Owner-side assembly: add this shard's halo contributions
+        ``y_halo [H_max]`` onto their owners and return the assembled
+        ``y_own [N_max+1]`` (trash lane zeroed)."""
         if self.exchange == "ppermute":
-            yh = jnp.concatenate([y_halo, jnp.zeros(1, dtype=y_loc.dtype)])
+            yh = jnp.concatenate([y_halo, jnp.zeros(1, dtype=y_own.dtype)])
             rf = jax.lax.ppermute(yh[tb["hsf"]], self.axis,
                                   self._perm("fwd_rev"))
             rw = jax.lax.ppermute(yh[tb["hsw"]], self.axis,
                                   self._perm("wrap_rev"))
             y_own = y_own.at[tb["gslf"]].add(rf).at[tb["gslw"]].add(rw)
             return y_own.at[self.N_max].set(0.0)
-        buf = jnp.zeros(self.NS + 1, dtype=y_loc.dtype)
+        buf = jnp.zeros(self.NS + 1, dtype=y_own.dtype)
         buf = buf.at[tb["hp"]].add(y_halo)
         buf = self._psum(buf)
         return y_own.at[tb["oil"]].add(buf[tb["oip"]]).at[self.N_max].set(0.0)
 
+    def assemble_own(self, tb, y_loc):
+        return self.assemble_halo(
+            tb, y_loc[: self.N_max + 1],
+            y_loc[self.N_max + 1: self.N_max + 1 + self.H_max])
+
+    # ---- window (lattice-layout) E-vector transfer: no irregular gathers ----
+    def _halo_plane(self, tb, x_own):
+        """Exchanged window plane 0 as [1, Dy, Dx] (value irrelevant on the
+        shard that owns its plane 0)."""
+        w = self.win
+        halo = self.gather_halo(tb, x_own)
+        if halo.shape[0] >= w["plane"]:
+            return halo[: w["plane"]].reshape(1, w["Dy"], w["Dx"])
+        return jnp.zeros((1, w["Dy"], w["Dx"]), dtype=x_own.dtype)
+
+    def window(self, tb, x_own):
+        """Materialized local window [Dz_win, Dy, Dx]: the owned block with
+        the halo plane filled into plane 0 (kept as-is on device 0)."""
+        w = self.win
+        x3 = x_own[: self.N_max].reshape(w["Dz_win"], w["Dy"], w["Dx"])
+        p0 = self._halo_plane(tb, x_own)
+        first = jnp.where(tb["ko"][0] > 0, x3[0:1], p0)
+        return jnp.concatenate([first, x3[1:]], axis=0)
+
+    def unwindow(self, tb, y3):
+        """Assemble window contributions [Dz_win, Dy, Dx]: plane 0 routes to
+        the lower neighbor (unless owned), the rest is the owned block."""
+        w = self.win
+        flat = y3.reshape(-1)
+        own0 = (tb["ko"][0] > 0).astype(flat.dtype)
+        p0 = flat[: w["plane"]]
+        y_own = jnp.concatenate([p0 * own0, flat[w["plane"]:],
+                                 jnp.zeros(1, dtype=flat.dtype)])
+        y_halo = p0 * (1.0 - own0)
+        if self.H_max != w["plane"]:          # single-shard partition
+            y_halo = jnp.zeros(self.H_max, dtype=flat.dtype)
+        return self.assemble_halo(tb, y_own, y_halo)
+
     def gather_E(self, tb, x_own):
+        if self._lat is not None:
+            return self._lat.gather(self.window(tb, x_own).reshape(-1))
         return self.gather_loc(tb, x_own)[tb["led"]]
 
     def assemble_E(self, tb, ye):
+        if self._lat is not None:
+            w = self.win
+            y3 = self._lat.scatter(ye).reshape(w["Dz_win"], w["Dy"], w["Dx"])
+            return self.unwindow(tb, y3)
         y_loc = jnp.zeros(self.N_max + 1 + self.H_max + 1, dtype=ye.dtype
                           ).at[tb["led"]].add(ye)
         return self.assemble_own(tb, y_loc)
@@ -436,8 +605,73 @@ class ShardedLevel(ShardedExchange):
             "invm": self._put((1.0 / mstack).astype(npdt)),
         })
 
+        # fully-fused per-shard lattice kernel: engages when the operator's
+        # single-device kernel qualified (pallas mode, f32, affine,
+        # non-periodic y/z — op.C6r set) AND the partition uses the window
+        # layout. This is the sharded form of the reference's fastest
+        # assembly mode under MPI (Solvers/PF_linear_par_partial.cpp:118-124).
+        self._fused = None
+        if op.C6r is not None and pt.win is not None \
+                and not pt.win["periodic"][1]:
+            self._init_fused_shard()
+        # in-kernel Dirichlet constraint valid iff ess == the global top
+        # z-plane (the free surface; true for every tank problem)
+        self._ess_top = False
+        st = op.space.struct
+        if self._fused is not None and st is not None:
+            Dx, Dy, Dz = st.dof_dims
+            top = Dx * Dy * (Dz - 1) + np.arange(Dx * Dy)
+            self._ess_top = bool(np.array_equal(
+                np.sort(np.asarray(ess_dofs)), top))
+
+    def _init_fused_shard(self) -> None:
+        op, pt = self.op, self.pt
+        w = pt.win
+        ndev = pt.ndev
+        C6r = np.asarray(op.C6r)               # [nez_glob, 6*ney, Dxp]
+        nez_loc = w["dims"][2]
+        slabs = np.zeros((ndev, nez_loc) + C6r.shape[1:], dtype=C6r.dtype)
+        for d in range(ndev):
+            s, nl = int(w["ez0"][d]), int(w["nlay"][d])
+            slabs[d, :nl] = C6r[s:s + nl]
+        # local block index holding the global top plane (the device owning
+        # the last element layer); -1 elsewhere
+        kt = np.where(w["ez0"] + w["nlay"] == C6r.shape[0],
+                      w["nlay"] - 1, -1).astype(np.int32)
+        self.tables["C6k"] = self._put(slabs)
+        self.tables["kt"] = self._put(kt.reshape(ndev, 1))
+        self._w3col = jnp.asarray(np.asarray(op._w3col))
+        self._fused = {"p": op.p, "dims": w["dims"],
+                       "periodic": (w["periodic"][0], False),
+                       "interpret": op._fused_interpret}
+
+    def _fused_apply(self, tb, x_own, constrained: bool):
+        from .kernels.lattice_apply import lattice_affine_apply
+        f = self._fused
+        w = self.pt.win
+        p0 = self._halo_plane(tb, x_own)
+        topb = (tb["kt"][0] if constrained
+                else jnp.asarray(-1, dtype=jnp.int32))
+        scal = jnp.stack([jnp.asarray(topb, dtype=jnp.int32),
+                          tb["ko"][0].astype(jnp.int32)])
+        y, yhalo = lattice_affine_apply(
+            x_own[: self.N_max].astype(jnp.float32), tb["C6k"], self._w3col,
+            self.Jr2.astype(jnp.float32), p=f["p"], dims=f["dims"],
+            periodic=f["periodic"], interpret=f["interpret"],
+            shard_scal=scal, p0=p0.astype(jnp.float32))
+        dtype = x_own.dtype
+        y_own = jnp.concatenate(
+            [y, jnp.zeros(1, dtype=jnp.float32)]).astype(dtype)
+        if self.H_max == w["plane"]:
+            y_halo = yhalo.astype(dtype)
+        else:                                  # single-shard partition
+            y_halo = jnp.zeros(self.H_max, dtype=dtype)
+        return self.assemble_halo(tb, y_own, y_halo)
+
     def apply_own(self, tb, x_own):
         """A x on owned lanes (no BC)."""
+        if self._fused is not None:
+            return self._fused_apply(tb, x_own, constrained=False)
         u = self.gather_E(tb, x_own)
         g = jnp.einsum("gl,el->eg", self.Jr2, u).reshape(-1, 3, self.Q)
         if self.affine:
@@ -450,6 +684,8 @@ class ShardedLevel(ShardedExchange):
 
     def apply_c(self, tb, x_own):
         """Constrained apply: identity on essential lanes."""
+        if self._fused is not None and self._ess_top:
+            return self._fused_apply(tb, x_own, constrained=True)
         free = 1.0 - tb["ess"]
         y = self.apply_own(tb, x_own * free)
         return y * free + x_own * tb["ess"]
@@ -630,6 +866,40 @@ class ShardedPMG:
             nex, ney, nez = sp_b.struct.elem_dims
             pf3 = np.asarray(bot.pt.part).reshape(nez, ney, nex)
             part_c = np.ascontiguousarray(pf3[::2, ::2, ::2]).reshape(-1)
+            # 'via' layout: inherits the bottom level's dof layout. With the
+            # window (lattice) layout this requires the coarse z-slabs to
+            # halve the fine slabs exactly; otherwise stop h-coarsening here
+            # (mixing layouts between bot and via would corrupt transfers).
+            lat_loc = None
+            if bot.pt.win is not None:
+                bw = bot.pt.win
+                sl_c = _zslab_layers(part_c, hs.struct.elem_dims, ndev)
+                ok = (sl_c is not None
+                      and np.array_equal(bw["p"] * np.asarray(bw["ez0"]),
+                                         2 * sl_c[0])
+                      and np.array_equal(bw["p"] * np.asarray(bw["nlay"]),
+                                         2 * sl_c[1]))
+                if not ok:
+                    # coarse slabs no longer halve the fine slabs: rebuild
+                    # the bottom level with the compact layout (cheap at
+                    # p=1) so h-coarsening can continue below it
+                    pt_b = Partition(sp_b, ndev, part=bot.pt.part,
+                                     layout="compact")
+                    bot = ShardedLevel(bot.op, pt_b, self.ess_list[-1],
+                                       exchange=exchange, put=put)
+                    self.levels[-1] = bot
+                    self.transfers[-1].coarse = bot
+            if bot.pt.win is not None:
+                bw = bot.pt.win
+                nex_c, ney_c, nez_c = hs.struct.elem_dims
+                win_via = {
+                    "p": 2, "dims": (nex_c, ney_c, int(sl_c[1].max())),
+                    "ez0": sl_c[0], "nlay": sl_c[1],
+                    "Dx": bw["Dx"], "Dy": bw["Dy"], "Dz_win": bw["Dz_win"],
+                    "plane": bw["plane"], "periodic": bw["periodic"],
+                }
+                assert 2 * int(sl_c[1].max()) + 1 == bw["Dz_win"]
+                lat_loc = (bot.pt.loc_of_dof, bot.pt.N_max, win_via)
             pt_c = Partition(sp_c, ndev, part=part_c)
             op_c = LaplacePA(sp_c, dtype=dtype, mode="fused")
             ess_c = _top_plane_dofs(sp_c.struct)
@@ -637,7 +907,9 @@ class ShardedPMG:
                                  put=put)
             # 'via' p=2 exchange on the half mesh, dof layout inherited from
             # the bottom level (identical global lattice numbering)
-            pt_via = Partition(hs, ndev, part=part_c, owner=bot.pt.owner)
+            pt_via = Partition(hs, ndev, part=part_c, owner=bot.pt.owner,
+                               lat_loc=lat_loc,
+                               layout="compact" if lat_loc is None else "auto")
             assert pt_via.N_max == bot.pt.N_max
             via = ShardedExchange(pt_via, put=put)
             mstack = pt_via.stack_dof(np.asarray(hs.node_mult, dtype=np.float64),
@@ -745,6 +1017,7 @@ class ShardedProblem:
         if prob.cfg.precond == "pmg" and sp.p > 1:
             self.pmg = ShardedPMG(prob, pt, ndev,
                                   smooth_degree=prob.cfg.cheb_degree,
+                                  h_coarsen_min_dofs=prob.cfg.h_coarsen_min_dofs,
                                   exchange=exchange, put=put,
                                   device_mesh=self.mesh, lmax_mode=lmax_mode)
 
@@ -799,7 +1072,7 @@ class ShardedProblem:
     def _zderiv_own(self, tb, jinv_z, phi_own):
         lv = self.fine
         p1 = self.p1
-        u = lv.gather_loc(tb, phi_own)[tb["led"]].reshape(-1, p1, p1, p1)
+        u = lv.gather_E(tb, phi_own).reshape(-1, p1, p1, p1)
         Bn = jnp.eye(p1, dtype=phi_own.dtype)
         Dn = self.Dn
         ne = u.shape[0]

@@ -74,6 +74,19 @@ def build_hex_dofs(elems: np.ndarray, n_verts: int, p: int):
     face_id = inv_f.reshape(ne, 6)
     nF = len(uniq_f)
 
+    # A face shared by more than two element-face slots, or twice by the
+    # same element, makes the vertex-keyed topological numbering merge
+    # distinct dofs (at p >= 2) — e.g. a periodic axis with fewer than 3
+    # elements, which MFEM's MakePeriodic forbids for the same reason.
+    fcount = np.bincount(inv_f, minlength=nF)
+    fsort = np.sort(face_id, axis=1)
+    if p >= 2 and (fcount.max() > 2
+                   or np.any(fsort[:, 1:] == fsort[:, :-1])):
+        raise ValueError(
+            "mesh has multiply-adjacent faces (e.g. a periodic axis with "
+            "fewer than 3 elements); H1 dof numbering would merge distinct "
+            "dofs at p >= 2")
+
     # native C++ fast path for large meshes (identical sharing semantics,
     # ids permuted — see lpfem/native)
     if ne * p1 ** 3 > 2_000_000:

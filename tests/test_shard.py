@@ -51,6 +51,93 @@ def test_sharded_matches_single_device(ndev):
     assert np.max(np.abs(np.asarray(phi1) - phi2g)) < 1e-10
 
 
+def test_lattice_window_layout_partition():
+    """z-slab window layout engages on structured meshes with nez >= ndev:
+    each shard's owned block is its local sub-lattice (plane 0 = halo slot),
+    so the sharded hot path needs no irregular gathers."""
+    cfg = preset("scaling_base", nx=4, ny=2, nz=8, order=2)
+    prob = Problem(cfg)
+    pt = Partition(prob.space, 4)
+    assert pt.win is not None
+    assert pt.n_own.sum() == prob.space.n_dofs
+    v = np.random.default_rng(0).standard_normal(prob.space.n_dofs)
+    assert np.allclose(pt.unstack_dof(pt.stack_dof(v)), v)
+    # device 0 owns its plane 0; everyone else's window plane 0 is halo
+    assert pt.win["ez0"][0] == 0 and pt.win["nlay"][0] == max(pt.win["nlay"])
+
+
+@pytest.mark.parametrize("ndev,mesh_kind", [(4, "periodic_tank"),
+                                            (3, "periodic_tank"),
+                                            (4, "finite_tank")])
+def test_sharded_fused_kernel_matches_reference(ndev, mesh_kind):
+    """The per-shard fused lattice Pallas kernel (interpret mode) through the
+    full sharded exchange vs the f64 reference operator — both the plain and
+    the in-kernel-constrained apply. ndev=3 exercises padded slabs (the
+    Dirichlet identity row riding the z-carry across zero-metric pad blocks).
+    Matches the reference running its fastest assembly mode under MPI
+    (Solvers/PF_linear_par_partial.cpp:118-124)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from lpfem.operators import LaplacePA
+    from lpfem.shard import ShardedLevel
+
+    cfg = preset("scaling_base", nx=4, ny=2, nz=8, order=3,
+                 mesh_kind=mesh_kind)
+    prob = Problem(cfg)                      # f64 reference
+    sp = prob.space
+    ess = np.asarray(prob.surf.surf_to_vol)
+    essj = jnp.asarray(ess.astype(np.int32))
+    x = np.random.default_rng(2).standard_normal(sp.n_dofs)
+    y_ref_c = np.asarray(prob.op.constrained_apply(jnp.asarray(x), essj))
+    y_ref = np.asarray(prob.op.apply(jnp.asarray(x)))
+
+    op32 = LaplacePA(sp, dtype=jnp.float32, mode="fused")
+    op32._init_fused_lattice(force=True)     # interpret-mode pallas
+    assert op32.C6r is not None
+    pt = Partition(sp, ndev)
+    assert pt.win is not None
+    lv = ShardedLevel(op32, pt, ess)
+    assert lv._fused is not None and lv._ess_top
+
+    mesh = make_device_mesh(ndev)
+    x_st = jnp.asarray(pt.stack_dof(x).astype(np.float32))
+
+    def dev_fn(x_st, tb):
+        tb = jax.tree.map(lambda a: a[0], tb)
+        yc = lv.apply_c(tb, x_st[0])
+        yo = lv.apply_own(tb, x_st[0])
+        return yc[None], yo[None]
+
+    fn = jax.jit(jax.shard_map(dev_fn, mesh=mesh,
+                               in_specs=(P("shard"), P("shard")),
+                               out_specs=(P("shard"), P("shard")),
+                               check_vma=False))
+    yc_st, yo_st = fn(x_st, lv.tables)
+    scale = np.max(np.abs(y_ref_c))
+    err_c = np.max(np.abs(pt.unstack_dof(np.asarray(yc_st)) - y_ref_c))
+    err_o = np.max(np.abs(pt.unstack_dof(np.asarray(yo_st)) - y_ref))
+    assert err_c < 5e-5 * scale, err_c / scale
+    assert err_o < 5e-5 * np.max(np.abs(y_ref)), err_o
+
+
+def test_sharded_zslab_pmg_trajectory_matches_single_device():
+    """Full RK4 trajectory with pmg on a z-slab window-layout partition
+    (lattice E-vector paths + window transfers + compact fallback below the
+    slab resolution) vs the single-device run."""
+    cfg = preset("scaling_base", nx=4, ny=2, nz=8, order=2, nsteps=5,
+                 precond="pmg", cg_rtol_sq=1e-24, cg_max_iter=400)
+    prob = Problem(cfg)
+    (t1, y1, phi1), _ = prob.run(n_steps=5)
+    sprob = ShardedProblem(prob, mesh=make_device_mesh(4))
+    assert sprob.pt.win is not None
+    t2, y2, phi2 = sprob.run(n_steps=5)
+    err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
+    scale = np.max(np.abs(np.asarray(y1)))
+    assert err < 1e-10 * max(scale, 1.0), (err, scale)
+    phi2g = sprob.phi_global(phi2)
+    assert np.max(np.abs(np.asarray(phi1) - phi2g)) < 1e-10
+
+
 def test_sharded_relaxation_tank():
     """Finite tank with relaxation zones, sharded vs single device."""
     # keep the flagship's dt = 5T/180 when shortening the run
