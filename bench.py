@@ -9,7 +9,9 @@ Metric: DOF x Laplace-solves per second. The reference publishes no numbers
 (BASELINE.md), so ``vs_baseline`` compares against the previous round's
 recorded value when available (``BENCH_r*.json``), else 1.0.
 
-Usage: python bench.py [--order 4] [--refs 1] [--steps 10] [--dtype float32]
+Usage:
+  python bench.py [--order 4] [--refs 1] [--steps 10] [--dtype float32]
+  python bench.py --scales 1,2,3     # protocol table -> data/bench-scales.txt
 """
 
 from __future__ import annotations
@@ -18,38 +20,27 @@ import argparse
 import glob
 import json
 import os
+import statistics
 import sys
 import time
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--order", type=int, default=4)
-    ap.add_argument("--refs", type=int, default=1)
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--nx", type=int, default=32)
-    ap.add_argument("--ny", type=int, default=2)
-    ap.add_argument("--nz", type=int, default=8)
-    ap.add_argument("--precond", default="pmg", choices=["jacobi", "chebyshev", "pmg"])
-    ap.add_argument("--cheb-degree", type=int, default=5,
-                    help="smoother degree for chebyshev/pmg (swept on-chip: "
-                         "deg 5 gives 3-4 CG iters and the best wall across "
-                         "refs=1..2 with the fused-kernel apply)")
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="timing repeats; median reported (tunnel variance)")
-    args = ap.parse_args()
-
+def bench_once(args, refs: int) -> dict:
+    """One protocol measurement at ``refs`` refinements. Returns wall, CG
+    iteration count of the cold solve, and the chained apply time."""
     import jax
+    import jax.numpy as jnp
     from lpfem.configs import preset
+    from lpfem.params import jit_with_params
     from lpfem.problem import Problem
 
-    cfg = preset("scaling_base", order=args.order, ref_levels=args.refs,
+    cfg = preset("scaling_base", order=args.order, ref_levels=refs,
                  nx=args.nx, ny=args.ny, nz=args.nz, precond=args.precond,
                  cheb_degree=args.cheb_degree,
                  dtype=args.dtype, cg_rtol_sq=1e-8, cg_max_iter=300)
     prob = Problem(cfg)
     n_dofs = prob.space.n_dofs
+    ns = prob.surf.n_dofs
     y0, phi0 = prob.initial_state()
 
     # warm-up (excluded, like ss.cpp:254); compiles via the cached,
@@ -65,12 +56,83 @@ def main() -> None:
         (t, y, phi), _ = prob.run(n_steps=args.steps, state=(y0, phi0))
         jax.block_until_ready(y)
         walls.append(time.perf_counter() - t0)
-    import statistics
     dt_wall = statistics.median(walls)
-
     n_solves = 4 * args.steps
-    value = n_dofs * n_solves / dt_wall
 
+    # CG iterations of a cold solve (zero warm start) at the protocol
+    # tolerance — the per-solve iteration count ss.cpp reports
+    solve = jit_with_params(
+        lambda y_, p_: prob.fso.solve_laplace(y_[ns:], p_), prob.params)
+    _, iters = solve(y0, phi0)
+    iters = int(iters)
+
+    # chained constrained-apply time (the CG hot op)
+    ess = prob.fso.ess
+    n_ap = 30
+    ap = jit_with_params(
+        lambda x: jax.lax.fori_loop(
+            0, n_ap, lambda i, v: prob.op.constrained_apply(v, ess), x),
+        prob.params)
+    x = jnp.asarray(phi0)
+    jax.block_until_ready(ap(x))
+    ap_walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(ap(x))
+        ap_walls.append(time.perf_counter() - t0)
+    apply_ms = statistics.median(ap_walls) / n_ap * 1e3
+
+    return dict(refs=refs, n_dofs=int(n_dofs), wall_s=dt_wall,
+                value=n_dofs * n_solves / dt_wall, n_solves=n_solves,
+                cg_iters=iters, apply_ms=apply_ms,
+                walls=[round(w, 4) for w in walls])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--refs", type=int, default=2,
+                    help="2 = 2.18M dofs, the ss.cpp big-tank + 1 parallel "
+                         "refinement protocol scale (refs=1 was the round-1/2 "
+                         "default; throughput is per dof*solve, comparable)")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--nx", type=int, default=32)
+    ap.add_argument("--ny", type=int, default=2)
+    ap.add_argument("--nz", type=int, default=8)
+    ap.add_argument("--precond", default="pmg", choices=["jacobi", "chebyshev", "pmg"])
+    ap.add_argument("--cheb-degree", type=int, default=5,
+                    help="smoother degree for chebyshev/pmg (swept on-chip: "
+                         "deg 5 gives 3-4 CG iters and the best wall across "
+                         "refs=1..2 with the fused-kernel apply)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timing repeats; median reported (tunnel variance)")
+    ap.add_argument("--scales", default=None,
+                    help="comma list of refs (e.g. 1,2,3): run the protocol "
+                         "at each scale and write data/bench-scales.txt "
+                         "(the ss.cpp / strongscaling.cpp problem sizes)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.scales:
+        from lpfem.io import DataFile
+        out = "data/bench-scales.txt"
+        if os.path.exists(out):
+            os.remove(out)
+        df = DataFile(out, "refs dofs wall_s dof_solves_per_s cg_iters "
+                           "apply_ms")
+        for refs in [int(s) for s in args.scales.split(",")]:
+            r = bench_once(args, refs)
+            df.append(r["refs"], r["n_dofs"], round(r["wall_s"], 4),
+                      round(r["value"], 1), r["cg_iters"],
+                      round(r["apply_ms"], 4))
+            print(f"refs={refs} dofs={r['n_dofs']} wall={r['wall_s']:.3f}s "
+                  f"-> {r['value'] / 1e6:.1f}M dof*solves/s "
+                  f"iters={r['cg_iters']} apply={r['apply_ms']:.3f}ms")
+        return
+
+    r = bench_once(args, args.refs)
     prev = None
     for f in sorted(glob.glob("BENCH_r*.json")):
         try:
@@ -80,19 +142,21 @@ def main() -> None:
                 prev = rec.get("value")
         except Exception:
             pass
-    vs = (value / prev) if prev else 1.0
+    vs = (r["value"] / prev) if prev else 1.0
 
     print(json.dumps({
         "metric": "laplace_dof_throughput",
-        "value": round(value, 1),
+        "value": round(r["value"], 1),
         "unit": "dof*solves/s",
         "vs_baseline": round(vs, 4),
         "detail": {
-            "n_dofs": int(n_dofs), "order": args.order, "refs": args.refs,
-            "steps": args.steps, "laplace_solves": n_solves,
-            "wall_s": round(dt_wall, 4), "dtype": args.dtype,
+            "n_dofs": r["n_dofs"], "order": args.order, "refs": args.refs,
+            "steps": args.steps, "laplace_solves": r["n_solves"],
+            "wall_s": round(r["wall_s"], 4), "dtype": args.dtype,
             "precond": args.precond,
-            "walls": [round(w, 4) for w in walls],
+            "cg_iters": r["cg_iters"],
+            "apply_ms": round(r["apply_ms"], 4),
+            "walls": r["walls"],
             "backend": jax.devices()[0].platform,
         },
     }))

@@ -88,6 +88,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=25,
                     help="steps per dispatched program (the device watchdog "
                          "kills single programs running >~5 min)")
+    ap.add_argument("--shard", type=int, default=0,
+                    help="run the time loop through the n-device sharded "
+                         "runner with the per-step record hook — the "
+                         "reference's MPI form incl. the rim gather "
+                         "(cylinder-diffraction.cpp:537-560); the envelope "
+                         "must match the single-device run to round-off")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--rtol-sq", type=float, default=None,
@@ -167,6 +173,11 @@ def main():
     ns = prob.surf.n_dofs
     record = lambda t, y, aux: (t, y[:ns])
 
+    sprob = None
+    if args.shard:
+        from lpfem.shard import ShardedProblem, make_device_mesh
+        sprob = ShardedProblem(prob, mesh=make_device_mesh(args.shard))
+
     # Chunked execution: one multi-minute XLA program trips the device
     # watchdog; ~50-step chunks keep each dispatch short and give progress.
     chunk = args.chunk
@@ -176,12 +187,17 @@ def main():
     done = 0
     while done < args.nsteps:
         n = min(chunk, args.nsteps - done)
-        (t, y, phi), (ts, etas) = prob.run(n_steps=n, t0=t, state=(y, phi),
-                                           record=record)
+        if sprob is not None:
+            (t, y, phi), (ts, etas) = sprob.run(n_steps=n, t0=t,
+                                                state=(y, phi), record=record)
+            prob._last_ok = sprob._last_ok
+        else:
+            (t, y, phi), (ts, etas) = prob.run(n_steps=n, t0=t, state=(y, phi),
+                                               record=record)
         jax.block_until_ready(etas)
         t = float(t)
         done += n
-        prob.check_state(y, phi)   # failure detection
+        prob.check_state(y, np.asarray(phi))   # failure detection
         ts_all.append(np.asarray(ts))
         etas_all.append(np.asarray(etas))
         print(f"step {done}/{args.nsteps} t={t:.3f} "

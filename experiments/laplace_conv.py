@@ -24,7 +24,7 @@ import numpy as np
 
 
 def run_case(mesh, order, wave, rtol_sq, max_iter, precond="pmg",
-             dtype="float64"):
+             dtype="float64", max_outer=8, inner_precision="highest"):
     """One stationary solve. ``dtype``:
     - float64: everything double (the MFEM configuration)
     - float32: everything single (the raw TPU speed path)
@@ -40,7 +40,11 @@ def run_case(mesh, order, wave, rtol_sq, max_iter, precond="pmg",
 
     sp = H1Space(mesh, order)
     jt = jnp.float32 if dtype == "float32" else jnp.float64
-    op = LaplacePA(sp, dtype=jt if dtype != "mixed" else jnp.float32)
+    # mixed: exact-f32 MXU products in the inner operator — the TPU default
+    # rounds f32 matmul inputs to bf16, which capped the attainable inner
+    # correction (the p>=8 refinement floors of round 2)
+    op = LaplacePA(sp, dtype=jt if dtype != "mixed" else jnp.float32,
+                   precision=inner_precision if dtype == "mixed" else None)
     surf = SurfaceSpace(sp, attr=2)
     ess = jnp.asarray(surf.surf_to_vol.astype(np.int32))
     phi_fs = jnp.asarray(surf.project(lambda x, y, z: wave.phi(x, y, z)),
@@ -61,7 +65,8 @@ def run_case(mesh, order, wave, rtol_sq, max_iter, precond="pmg",
         apply_lo = jax.jit(lambda v: op.constrained_apply(v, ess))
         t0 = time.perf_counter()
         res = pcg_refined(apply_hi, apply_lo, B, x0, precond_lo=pre,
-                          rtol_sq=rtol_sq, inner_max_iter=max_iter)
+                          rtol_sq=rtol_sq, inner_max_iter=max_iter,
+                          max_outer=max_outer)
         jax.block_until_ready(res.x)
         wall = time.perf_counter() - t0
     else:
@@ -95,6 +100,13 @@ def main():
     ap.add_argument("--precond", default="pmg")
     ap.add_argument("--dtype", default="float64",
                     choices=["float64", "float32", "mixed"])
+    ap.add_argument("--max-outer", type=int, default=8,
+                    help="mixed: refinement passes (each gains the inner "
+                         "solve's digits; high p needs more)")
+    ap.add_argument("--inner-precision", default="highest",
+                    choices=["default", "high", "highest"],
+                    help="mixed: MXU product precision of the f32 inner "
+                         "operator (TPU default = bf16 inputs)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -112,7 +124,9 @@ def main():
         df = DataFile(out, "order dofs err_inf err_l2 iters wall_s")
         for p in range(1, args.max_order + 1):
             r = run_case(base, p, wave, args.rtol_sq, args.max_iter,
-                         args.precond, dtype=args.dtype)
+                         args.precond, dtype=args.dtype,
+                         max_outer=args.max_outer,
+                         inner_precision=args.inner_precision)
             df.append(p, r["dofs"], r["err_inf"], r["err_l2"], r["iters"], r["wall"])
             print(f"p={p:2d} dofs={r['dofs']:8d} err_inf={r['err_inf']:.3e} "
                   f"err_l2={r['err_l2']:.3e} iters={r['iters']} wall={r['wall']:.2f}s")
@@ -122,7 +136,9 @@ def main():
         mesh = base
         for ref in range(args.refs + 1):
             r = run_case(mesh, args.order, wave, args.rtol_sq, args.max_iter,
-                         args.precond, dtype=args.dtype)
+                         args.precond, dtype=args.dtype,
+                         max_outer=args.max_outer,
+                         inner_precision=args.inner_precision)
             df.append(ref, args.order, r["dofs"], r["err_inf"], r["err_l2"],
                       r["iters"], r["wall"])
             print(f"ref={ref} dofs={r['dofs']:8d} err_inf={r['err_inf']:.3e} "

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--nz", type=int, default=2)
     ap.add_argument("--nsteps", type=int, default=150)
     ap.add_argument("--precond", default="pmg")
+    ap.add_argument("--shard", type=int, default=0,
+                    help="run each case through the n-device sharded runner "
+                         "(the reference's mpirun form, convergence-"
+                         "parallel.cpp:269-276); metrics must match the "
+                         "single-device tables to round-off")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -42,13 +47,19 @@ def main():
         cfg = preset("pf_linear_periodic", nx=nx or args.nx, nz=nz or args.nz,
                      order=order, nsteps=args.nsteps, cg_max_iter=2000,
                      precond=args.precond if order > 1 else "jacobi")
-        prob = Problem(cfg, mesh=mesh)
+        prob = Problem(cfg, mesh=mesh, build_precond=not args.shard)
         t0 = time.perf_counter()
-        (t, y, phi), _ = prob.run()
+        if args.shard:
+            from lpfem.shard import ShardedProblem, make_device_mesh
+            sprob = ShardedProblem(prob, mesh=make_device_mesh(args.shard))
+            t, y, phi_st = sprob.run()
+            phi = np.asarray(sprob.phi_global(phi_st))
+        else:
+            (t, y, phi), _ = prob.run()
         wall = time.perf_counter() - t0
         eta_err = prob.eta_error_inf(y, float(t))
         # w error at final time (the hconv driver's metric)
-        w = np.asarray(NodalZDerivative(prob.op)(phi))
+        w = np.asarray(NodalZDerivative(prob.op)(np.asarray(phi)))
         w_ex = prob.space.project(
             lambda x, yy, z: prob.wave.w_vel(x, yy, z, float(t)))
         w_err = float(np.max(np.abs(w - w_ex)))

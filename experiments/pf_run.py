@@ -111,8 +111,12 @@ def main():
                        {"eta": np.asarray(y[:ns]),
                         "phi_fs": np.asarray(y[ns:])})
         if glvis is not None and step % args.glvis_every < n:
+            # view-setup keys ride the FIRST send of this process (tracked on
+            # the stream, not by step count — a resumed run starts at step0>0)
+            first = not getattr(glvis, "_keys_sent", False)
             glvis.send(prob.surf, np.asarray(y[:ns]),
-                       keys="Rjlc" if step <= n else None)
+                       keys="Rjlc" if first else None)
+            glvis._keys_sent = True
         if args.checkpoint and step % args.checkpoint_every < n:
             save_checkpoint(args.checkpoint, step=step, t=t, y=y, phi=phi,
                             config=cfg.name)

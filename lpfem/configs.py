@@ -33,10 +33,21 @@ class Config:
     # ---- discretization ----
     order: int = 2
     quad: int | None = None              # default order+1 GL points
-    apply_mode: str = "pallas"           # pallas | fused | sumfact
+    apply_mode: str = "pallas"           # pallas | fused | sumfact | assembled
                                          # (pallas auto-falls-back to fused
-                                         #  off-TPU or in f64)
+                                         #  off-TPU or in f64; assembled runs
+                                         #  the CG solve on the ELL SpMV of
+                                         #  the fully assembled matrix, the
+                                         #  PF_linear_par configuration)
     dtype: str = "float64"
+    mixed_inner_precision: str = "highest"
+                                         # MXU product precision of the f32
+                                         # inner operator when dtype="mixed":
+                                         # TPU's default f32 matmul rounds
+                                         # inputs to bf16, capping the inner
+                                         # correction accuracy (the p>=8
+                                         # refinement stall); highest = exact
+                                         # f32 products. default|high|highest
     # ---- wave ----
     H: float = 0.005
     g: float = 9.81

@@ -69,7 +69,14 @@ def build_c6w(C6: np.ndarray, p: int, dims: tuple[int, int, int],
 
 def _kernel(*refs, p: int, Q: int, nex: int, ney: int, cb: int,
             Dx: int, Dxp: int, px: bool, ess_top: bool, shard: bool,
-            interpret: bool):
+            precision: str | None, interpret: bool):
+    # MXU product precision: None = backend default (bf16 inputs on TPU —
+    # right for the bandwidth-bound solve path), 'high'/'highest' = 3/6-pass
+    # f32 schemes for accuracy-critical uses (mixed-precision inner applies)
+    prec = (None if precision in (None, "default")
+            else {"high": jax.lax.Precision.HIGH,
+                  "float32": jax.lax.Precision.HIGH,
+                  "highest": jax.lax.Precision.HIGHEST}[precision])
     if shard:
         # shard mode (one z-slab of the global lattice per device; see
         # lpfem.shard): scal = [topb, own0] — topb is the local block index
@@ -154,6 +161,7 @@ def _kernel(*refs, p: int, Q: int, nex: int, ney: int, cb: int,
         u2 = u5.reshape(L, cw * Dxp)
 
         g = jax.lax.dot_general(Jr2, u2, (((1,), (0,)), ((), ())),
+                                precision=prec,
                                 preferred_element_type=jnp.float32)
         gx, gy, gz = g[:Q], g[Q:2 * Q], g[2 * Q:]
 
@@ -169,6 +177,7 @@ def _kernel(*refs, p: int, Q: int, nex: int, ney: int, cb: int,
         h = jnp.concatenate([hx, hy, hz], axis=0)            # [3Q, cw*Dxp]
 
         ye = jax.lax.dot_general(Jr2, h, (((0,), (0,)), ((), ())),
+                                 precision=prec,
                                  preferred_element_type=jnp.float32)
         ye5 = ye.reshape(p1, p1 * p1, cw, Dxp)
 
@@ -226,12 +235,13 @@ def _kernel(*refs, p: int, Q: int, nex: int, ney: int, cb: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "dims", "periodic", "ess_top", "interpret"))
+    "p", "dims", "periodic", "ess_top", "precision", "interpret"))
 def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
                          Jr2: jax.Array, *, p: int,
                          dims: tuple[int, int, int],
                          periodic: tuple[bool, bool],
                          ess_top: bool = False,
+                         precision: str | None = None,
                          interpret: bool = False,
                          shard_scal: jax.Array | None = None,
                          p0: jax.Array | None = None):
@@ -277,7 +287,8 @@ def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
 
     kern = functools.partial(_kernel, p=p, Q=Q, nex=nex, ney=ney, cb=cb,
                              Dx=Dx, Dxp=Dxp, px=px, ess_top=ess_top,
-                             shard=shard, interpret=interpret)
+                             shard=shard, precision=precision,
+                             interpret=interpret)
     cost = pl.CostEstimate(
         flops=2 * 2 * nez * ney * Dxp * L * 3 * Q,
         bytes_accessed=4 * (2 * Dz * Dy * Dxp + nez * ney * 6 * Dxp),

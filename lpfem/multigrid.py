@@ -236,7 +236,8 @@ class PMultigrid:
                        else sp.boundary_dofs(ess_attr))
             else:
                 sp = H1Space(mesh, pl)
-                op = LaplacePA(sp, dtype=fine_op.dtype, mode=fine_op.mode)
+                op = LaplacePA(sp, dtype=fine_op.dtype, mode=fine_op.mode,
+                               precision=fine_op.precision)
                 ess = sp.boundary_dofs(ess_attr)
             self.levels.append(_Level(op, ess))
 
@@ -283,7 +284,8 @@ class PMultigrid:
                     or hs.struct.dof_dims != sp_b.struct.dof_dims
                     or hs.n_dofs != bot.op.n_dofs):
                 break
-            op_c = LaplacePA(sp_c, dtype=fine_op.dtype, mode=fine_op.mode)
+            op_c = LaplacePA(sp_c, dtype=fine_op.dtype, mode=fine_op.mode,
+                             precision=fine_op.precision)
             lvl_c = _Level(op_c, _top_plane_dofs(sp_c.struct))
             from .operators import StructuredLattice
             lat = StructuredLattice(hs.struct, 2)

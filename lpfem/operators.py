@@ -193,6 +193,44 @@ class StructuredLattice:
         return u.reshape(-1)
 
 
+class ColumnLattice:
+    """E-vector transfer on z-extruded meshes (``H1Space.extruded``).
+
+    Dofs are numbered ``node2d * Dz + z``, so extraction is ONE
+    ``[ne2d, (p+1)^2]`` gather of contiguous Dz-columns followed by
+    reshape/strided-slice z-unfolds (and assembly the transpose with one
+    column scatter-add). The irregular index set shrinks from the volume
+    (``ne * (p+1)^3``) to the 2D footprint — the TPU answer to imported
+    Gmsh tanks without a global lattice (the reference's extruded
+    ``mesh_cylinder_half.msh``, ``Solvers/cylinder-diffraction.cpp:225``).
+    """
+
+    def __init__(self, ext, p: int):
+        self.ed2d = jnp.asarray(ext.ed2d.astype(np.int32))
+        self.n2d, self.Dz, self.nz = ext.n2d, ext.Dz, ext.nz
+        self.p = p
+        self.L2d = ext.ed2d.shape[1]
+        self.ne2d = ext.ed2d.shape[0]
+        self.ne = self.ne2d * ext.nz
+
+    def gather(self, x: jax.Array) -> jax.Array:
+        """[n_dofs] -> [ne, (p+1)^3] in layer-major element order."""
+        p, p1 = self.p, self.p + 1
+        u = x.reshape(self.n2d, self.Dz)[self.ed2d]     # [ne2d, L2d, Dz]
+        u = _unfold_last(u, self.nz, p, False)          # [ne2d, L2d, nz, p1]
+        u = u.transpose(2, 0, 3, 1)                     # [nz, ne2d, p1z, L2d]
+        return u.reshape(self.ne, p1 * self.L2d)
+
+    def scatter(self, ye: jax.Array) -> jax.Array:
+        """[ne, (p+1)^3] -> assembled [n_dofs] (transpose of ``gather``)."""
+        p, p1 = self.p, self.p + 1
+        u = ye.reshape(self.nz, self.ne2d, p1, self.L2d).transpose(1, 3, 0, 2)
+        u = _fold_last(u, p, False)                     # [ne2d, L2d, Dz]
+        y = jnp.zeros((self.n2d, self.Dz), dtype=ye.dtype
+                      ).at[self.ed2d].add(u)
+        return y.reshape(-1)
+
+
 def _apply_G6(G6: jax.Array, gx: jax.Array, gy: jax.Array, gz: jax.Array) -> jax.Array:
     """h_i = G_ij g_j with symmetric G stored as [..., Q, 6] = (xx,xy,xz,yy,yz,zz).
 
@@ -218,6 +256,22 @@ def _apply_G6_affine(C6: jax.Array, w3: jax.Array, gx: jax.Array,
     return jnp.stack([hx, hy, hz], axis=-2)
 
 
+def _matmul_precision(name: str | None):
+    """Map a precision name to ``jax.lax.Precision`` (None = backend default).
+
+    On TPU the DEFAULT f32 matmul rounds inputs to bfloat16 on the MXU
+    (~3 decimal digits per product) — fine for the bandwidth-bound solve
+    paths, but it caps the accuracy an 'f32' operator can deliver, which is
+    exactly what limits mixed-precision iterative refinement at high p (the
+    inner correction can only be as good as the inner apply). 'high' runs
+    the 3-pass bfloat16x3 scheme (~f32 products), 'highest' exact f32."""
+    if name is None or name == "default":
+        return None
+    return {"high": jax.lax.Precision.HIGH,
+            "float32": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[name]
+
+
 class LaplacePA:
     """Matrix-free Laplace (stiffness) operator on an :class:`H1Space`.
 
@@ -225,7 +279,8 @@ class LaplacePA:
     """
 
     def __init__(self, space: H1Space, q: int | None = None,
-                 dtype=jnp.float64, mode: str = "fused"):
+                 dtype=jnp.float64, mode: str = "fused",
+                 precision: str | None = None):
         p = space.p
         if q is None:
             q = p + 1
@@ -233,6 +288,8 @@ class LaplacePA:
         self.p, self.q = p, q
         self.dtype = dtype
         self.mode = mode
+        self.precision = precision
+        self._prec = _matmul_precision(precision)
         self.n_dofs = space.n_dofs
         self.elem_dofs = jnp.asarray(space.elem_dofs.astype(np.int32))
         self.G, self.wdetJ, self.xq = geometric_factors(space, q, dtype)
@@ -242,6 +299,10 @@ class LaplacePA:
         self.Jr = jnp.asarray(_grad_interp_matrix(p, q), dtype=dtype)  # [3,Q,L]
         self.lattice = (StructuredLattice(space.struct, p)
                         if space.struct is not None else None)
+        self.column = (ColumnLattice(space.extruded, p)
+                       if (self.lattice is None
+                           and getattr(space, "extruded", None) is not None)
+                       else None)
 
         # ---- compact affine metric ----
         # For affine (parallelepiped) elements J is constant per element, so
@@ -256,8 +317,12 @@ class LaplacePA:
         w3 = np.einsum("c,b,a->cba", b.qwts, b.qwts, b.qwts).reshape(-1)
         Gnp = np.asarray(self.G)
         C = Gnp[:, :1, :] / w3[0]
+        # detection tolerance tied to the operator dtype: an f64 operator
+        # must not silently compact a mesh with genuine sub-1e-6 metric
+        # variation (which would cap its accuracy at the detection tolerance)
+        afftol = 1e-6 if np.dtype(dtype) == np.float32 else 1e-12
         if (np.max(np.abs(Gnp - w3[None, :, None] * C))
-                <= 1e-6 * np.max(np.abs(Gnp))):
+                <= afftol * np.max(np.abs(Gnp))):
             self.C6 = jnp.asarray(C[:, 0, :], dtype=dtype)
             self.w3 = jnp.asarray(w3, dtype=dtype)
 
@@ -307,13 +372,17 @@ class LaplacePA:
         :mod:`lpfem.params`; avoids embedding them as HLO constants)."""
         bp.register(self, "G", "elem_dofs", "G6q", "C6", "C6r", "wdetJ",
                     "xq", "diag")
+        if self.column is not None:
+            bp.register(self.column, "ed2d")
 
     # ------------------------------------------------------------------ apply
     def gather_E(self, x: jax.Array) -> jax.Array:
-        """E-vector gather [n_dofs] -> [ne, L] (structured fast path when
-        available)."""
+        """E-vector gather [n_dofs] -> [ne, L] (structured / extruded-column
+        fast paths when available)."""
         if self.lattice is not None:
             return self.lattice.gather(x)
+        if self.column is not None:
+            return self.column.gather(x)
         return x[self.elem_dofs]
 
     def apply_local(self, x: jax.Array) -> jax.Array:
@@ -331,7 +400,8 @@ class LaplacePA:
         if self.mode == "fused":
             # one [E, L] @ [L, 3Q] matmul (MXU), VPU elementwise G, transpose
             Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)        # [3Q, L]
-            g = jnp.einsum("gl,el->eg", Jr2, u)               # [ne, 3Q]
+            g = jnp.einsum("gl,el->eg", Jr2, u,
+                           precision=self._prec)              # [ne, 3Q]
             ne = g.shape[0]
             g = g.reshape(ne, 3, self.q ** 3)
             if self.C6 is not None:
@@ -339,7 +409,8 @@ class LaplacePA:
                                      g[:, 0], g[:, 1], g[:, 2])
             else:
                 h = _apply_G6(self.G, g[:, 0], g[:, 1], g[:, 2])  # [ne,3,Q]
-            return jnp.einsum("gl,eg->el", Jr2, h.reshape(ne, -1))
+            return jnp.einsum("gl,eg->el", Jr2, h.reshape(ne, -1),
+                              precision=self._prec)
         # sum-factorized path
         p1, q = self.p + 1, self.q
         ne = u.shape[0]
@@ -347,7 +418,8 @@ class LaplacePA:
         B, D = self.B, self.D
 
         def t3(v, Az, Ay, Ax):
-            return jnp.einsum("cz,by,ax,ezyx->ecba", Az, Ay, Ax, v)
+            return jnp.einsum("cz,by,ax,ezyx->ecba", Az, Ay, Ax, v,
+                              precision=self._prec)
 
         gx = t3(uz, B, B, D).reshape(ne, q ** 3)
         gy = t3(uz, B, D, B).reshape(ne, q ** 3)
@@ -359,7 +431,8 @@ class LaplacePA:
         h = h.reshape(ne, 3, q, q, q)
 
         def t3t(v, Az, Ay, Ax):
-            return jnp.einsum("cz,by,ax,ecba->ezyx", Az, Ay, Ax, v)
+            return jnp.einsum("cz,by,ax,ecba->ezyx", Az, Ay, Ax, v,
+                              precision=self._prec)
 
         y = (t3t(h[:, 0], B, B, D) + t3t(h[:, 1], B, D, B)
              + t3t(h[:, 2], D, B, B))
@@ -373,14 +446,17 @@ class LaplacePA:
             return lattice_affine_apply(
                 x.astype(jnp.float32), self.C6r, self._w3col, Jr2,
                 p=self.p, dims=self._lat_dims, periodic=self._lat_periodic,
+                precision=self.precision,
                 interpret=self._fused_interpret).astype(self.dtype)
         return self.assemble(self.apply_local(x))
 
     def assemble(self, ye: jax.Array) -> jax.Array:
-        """E-vector assembly (structured fold when available, else
-        scatter-add)."""
+        """E-vector assembly (structured fold / extruded-column fast paths
+        when available, else scatter-add)."""
         if self.lattice is not None:
             return self.lattice.scatter(ye)
+        if self.column is not None:
+            return self.column.scatter(ye)
         return jnp.zeros(self.n_dofs, dtype=ye.dtype).at[self.elem_dofs].add(ye)
 
     # --------------------------------------------------------------- diagonal
@@ -410,8 +486,14 @@ class LaplacePA:
             return False
         Dx, Dy, Dz = st.dof_dims
         top = Dx * Dy * (Dz - 1) + np.arange(Dx * Dy)
-        if np.array_equal(np.sort(np.asarray(ess_dofs)), top):
-            self._ess_top = True
+        match = bool(np.array_equal(np.sort(np.asarray(ess_dofs)), top))
+        if self._ess_top and not match:
+            # a previous caller enabled the fused constraint for the top
+            # plane; honoring a different essential set through the latched
+            # kernel would silently apply the WRONG constraint
+            raise ValueError("in-kernel essential constraint already enabled "
+                             "for the top plane; got a different ess set")
+        self._ess_top = match
         return self._ess_top
 
     def constrained_apply(self, x: jax.Array, ess: jax.Array) -> jax.Array:
@@ -423,7 +505,7 @@ class LaplacePA:
             return lattice_affine_apply(
                 x.astype(jnp.float32), self.C6r, self._w3col, Jr2,
                 p=self.p, dims=self._lat_dims, periodic=self._lat_periodic,
-                ess_top=True,
+                ess_top=True, precision=self.precision,
                 interpret=self._fused_interpret).astype(self.dtype)
         x0 = x.at[ess].set(0.0)
         y = self.apply(x0)
@@ -583,6 +665,19 @@ class AssembledLaplace:
         x0 = x.at[ess].set(0.0)
         y = self.apply(x0)
         return y.at[ess].set(x[ess])
+
+    def constrained_rhs(self, b: jax.Array, ess: jax.Array,
+                        ess_vals: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Same contract as :meth:`LaplacePA.constrained_rhs` — the operator
+        is a drop-in CG operator for the time loop (``apply_mode="assembled"``,
+        the ``PF_linear_par`` configuration)."""
+        x_bc = jnp.zeros(self.n_dofs, dtype=b.dtype).at[ess].set(ess_vals)
+        B = b - self.apply(x_bc)
+        B = B.at[ess].set(ess_vals)
+        return B, x_bc
+
+    def register_params(self, bp) -> None:
+        bp.register(self, "cols", "vals", "diag")
 
     def gauss_seidel_host(self, b: np.ndarray, x0: np.ndarray,
                           sweeps: int = 1) -> np.ndarray:

@@ -83,11 +83,25 @@ class Problem:
         self.wave = build_wave(cfg, self.mesh)
         self.space = H1Space(self.mesh, cfg.order)
         op_dtype = jnp.float32 if self.mixed else self.dtype
+        assembled = cfg.apply_mode == "assembled"
+        if assembled and self.mixed:
+            raise ValueError("apply_mode='assembled' + dtype='mixed' is not "
+                             "supported (the mixed inner solve is the PA "
+                             "path); use float64 or float32")
+        pa_mode = "fused" if assembled else cfg.apply_mode
+        op_prec = cfg.mixed_inner_precision if self.mixed else None
         self.op = LaplacePA(self.space, q=cfg.quad, dtype=op_dtype,
-                            mode=cfg.apply_mode)
+                            mode=pa_mode, precision=op_prec)
         self.op_hi = (LaplacePA(self.space, q=cfg.quad, dtype=jnp.float64,
-                                mode=cfg.apply_mode)
+                                mode=pa_mode)
                       if self.mixed else None)
+        # full-assembly mode (the PF_linear_par configuration,
+        # ``Solvers/PF_linear_par.cpp:114-120``): the CG solve runs the
+        # assembled ELL SpMV; the PA operator keeps the geometry roles
+        self.op_solve = None
+        if assembled:
+            from .operators import AssembledLaplace
+            self.op_solve = AssembledLaplace(self.op)
         self.surf = SurfaceSpace(self.space, attr=2)
 
         self.dt = float(cfg.t_final_periods * self.wave.T / cfg.nsteps)
@@ -130,7 +144,7 @@ class Problem:
             self.op, self.surf, g=cfg.g, relax=relax,
             cg_rtol_sq=cfg.cg_rtol_sq, cg_atol_sq=cfg.cg_atol_sq,
             cg_max_iter=cfg.cg_max_iter, precond_fn=precond_fn,
-            op_hi=self.op_hi)
+            op_hi=self.op_hi, op_solve=self.op_solve)
 
         # big-buffer registry: jit entry points thread these as arguments
         # instead of HLO constants (lpfem.params; required at 10M+ dofs)

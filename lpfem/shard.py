@@ -643,6 +643,7 @@ class ShardedLevel(ShardedExchange):
         self._w3col = jnp.asarray(np.asarray(op._w3col))
         self._fused = {"p": op.p, "dims": w["dims"],
                        "periodic": (w["periodic"][0], False),
+                       "precision": op.precision,
                        "interpret": op._fused_interpret}
 
     def _fused_apply(self, tb, x_own, constrained: bool):
@@ -657,7 +658,8 @@ class ShardedLevel(ShardedExchange):
         y, yhalo = lattice_affine_apply(
             x_own[: self.N_max].astype(jnp.float32), tb["C6k"], self._w3col,
             self.Jr2.astype(jnp.float32), p=f["p"], dims=f["dims"],
-            periodic=f["periodic"], interpret=f["interpret"],
+            periodic=f["periodic"], precision=f["precision"],
+            interpret=f["interpret"],
             shard_scal=scal, p0=p0.astype(jnp.float32))
         dtype = x_own.dtype
         y_own = jnp.concatenate(
@@ -672,14 +674,17 @@ class ShardedLevel(ShardedExchange):
         """A x on owned lanes (no BC)."""
         if self._fused is not None:
             return self._fused_apply(tb, x_own, constrained=False)
+        prec = self.op._prec
         u = self.gather_E(tb, x_own)
-        g = jnp.einsum("gl,el->eg", self.Jr2, u).reshape(-1, 3, self.Q)
+        g = jnp.einsum("gl,el->eg", self.Jr2, u,
+                       precision=prec).reshape(-1, 3, self.Q)
         if self.affine:
             h = _apply_G6_affine(tb["C6"], tb["w3"],
                                  g[:, 0], g[:, 1], g[:, 2])
         else:
             h = _apply_G6(tb["G"], g[:, 0], g[:, 1], g[:, 2])
-        ye = jnp.einsum("gl,eg->el", self.Jr2, h.reshape(h.shape[0], -1))
+        ye = jnp.einsum("gl,eg->el", self.Jr2, h.reshape(h.shape[0], -1),
+                        precision=prec)
         return self.assemble_E(tb, ye)
 
     def apply_c(self, tb, x_own):
@@ -831,7 +836,8 @@ class ShardedPMG:
                 ess = ess_fine
             else:
                 sp = H1Space(mesh, pl)
-                op = LaplacePA(sp, dtype=dtype, mode="fused")
+                op = LaplacePA(sp, dtype=dtype, mode="fused",
+                               precision=prob.op.precision)
                 pt = Partition(sp, ndev, part=pt_fine.part)
                 ess = sp.boundary_dofs(2)
             self.levels.append(ShardedLevel(op, pt, ess, exchange=exchange,
@@ -901,7 +907,8 @@ class ShardedPMG:
                 assert 2 * int(sl_c[1].max()) + 1 == bw["Dz_win"]
                 lat_loc = (bot.pt.loc_of_dof, bot.pt.N_max, win_via)
             pt_c = Partition(sp_c, ndev, part=part_c)
-            op_c = LaplacePA(sp_c, dtype=dtype, mode="fused")
+            op_c = LaplacePA(sp_c, dtype=dtype, mode="fused",
+                             precision=prob.op.precision)
             ess_c = _top_plane_dofs(sp_c.struct)
             lvl_c = ShardedLevel(op_c, pt_c, ess_c, exchange=exchange,
                                  put=put)
@@ -988,6 +995,10 @@ class ShardedProblem:
         slice. ``lmax_mode='sharded'`` estimates smoother eigenvalues through
         the sharded operator (see :func:`_estimate_lmax_sharded`)."""
         self.prob = prob
+        if getattr(prob, "op_solve", None) is not None:
+            raise NotImplementedError(
+                "apply_mode='assembled' has no sharded path (the sharded "
+                "runner is matrix-free); use pallas/fused")
         self.mesh = mesh if mesh is not None else make_device_mesh(n_dev)
         ndev = self.mesh.devices.size
         self.ndev = ndev
@@ -1154,11 +1165,23 @@ class ShardedProblem:
         return rhs
 
     # ------------------------------------------------------------------ API
-    def run(self, n_steps: int | None = None, t0: float = 0.0, state=None):
-        """Full sharded RK4 run. Returns (t, y_replicated, phi_stacked).
+    def run(self, n_steps: int | None = None, t0: float = 0.0, state=None,
+            record=None):
+        """Full sharded RK4 run. Returns (t, y_replicated, phi_stacked) —
+        or ((t, y, phi), outs) when ``record`` is given.
 
-        Compiled programs are cached per n_steps; ``t0`` is a traced argument
-        so chunked long runs reuse one executable (same as ``Problem.run``)."""
+        ``record(t, y, phi_own)`` runs per device inside the scan with the
+        REPLICATED surface state ``y`` (and this device's volume slice), so
+        surface-trajectory records — error histories, the diffraction
+        envelope — come out identical to the single-device ``Problem.run``
+        hook; its stacked per-step outputs return replicated. This is the
+        SPMD analogue of the reference gathering per-step outputs under MPI
+        (``Solvers/cylinder-diffraction.cpp:537-560``,
+        ``Convergence_and_Scaling/convergence-parallel.cpp:269-276``).
+
+        Compiled programs are cached per (n_steps, record); ``t0`` is a
+        traced argument so chunked long runs reuse one executable (same as
+        ``Problem.run``)."""
         prob = self.prob
         if n_steps is None:
             n_steps = prob.cfg.nsteps
@@ -1176,7 +1199,7 @@ class ShardedProblem:
         t0 = jnp.asarray(t0, dtype=self.dtype)
         if not hasattr(self, "_compiled"):
             self._compiled = {}
-        key = n_steps
+        key = (n_steps, record)
         if key in self._compiled:
             return self._compiled[key](t0, y0, phi0)
 
@@ -1203,24 +1226,27 @@ class ShardedProblem:
             # one shard's NaN must freeze every shard in the same step
             ndev = self.ndev
             g_red = lambda fin: self.fine._psum(fin.astype(jnp.int32)) == ndev
-            (t, y, phi), _, ok = rk4_run(f, y0, phi0, t0, dt, n_steps,
-                                         guard_reduce=g_red)
-            return t, y, phi[None], ok
+            (t, y, phi), outs, ok = rk4_run(f, y0, phi0, t0, dt, n_steps,
+                                            record=record,
+                                            guard_reduce=g_red)
+            return t, y, phi[None], outs, ok
 
         sh, rep = P("shard"), P()
         fn = jax.shard_map(
             device_fn, mesh=self.mesh,
             in_specs=(rep, rep, sh, sh, sh, sh, sh, sh, sh),
-            out_specs=(rep, rep, sh, rep),
+            out_specs=(rep, rep, sh, rep, rep),
             check_vma=False,
         )
         fn = jax.jit(fn)
 
         def call(t0, y0, phi0):
-            t, y, phi, ok = fn(t0, y0, phi0, self.fine.tables, hi_tables,
-                               pmg_tables, self.Jinv_z, self.surf_pos,
-                               self.surf_loc)
+            t, y, phi, outs, ok = fn(t0, y0, phi0, self.fine.tables,
+                                     hi_tables, pmg_tables, self.Jinv_z,
+                                     self.surf_pos, self.surf_loc)
             self._last_ok = ok
+            if record is not None:
+                return (t, y, phi), outs
             return t, y, phi
 
         self._compiled[key] = call

@@ -209,6 +209,23 @@ def _geom_weights(p: int) -> np.ndarray:
 
 
 @dataclass(frozen=True)
+class ExtrudedInfo:
+    """z-extrusion structure of an (otherwise unstructured) mesh.
+
+    When present, dofs are numbered ``node2d * Dz + z`` (z fastest) on
+    vertical columns over a 2D quad mesh, and elements are ordered
+    layer-major. The E-vector transfer then needs only a [ne2d, (p+1)^2]
+    gather of contiguous Dz-columns plus reshape z-unfolds — the irregular
+    part of the apply shrinks from the volume to the 2D footprint. This is
+    the fast path for imported Gmsh tanks (e.g. the reference's extruded
+    ``mesh_cylinder_half.msh``, ``Solvers/cylinder-diffraction.cpp:225``)."""
+    ed2d: np.ndarray     # [ne2d, (p+1)^2] 2D dof map
+    n2d: int             # 2D dof count
+    Dz: int              # p*nz + 1 dof levels
+    nz: int              # element layers
+
+
+@dataclass(frozen=True)
 class StructuredInfo:
     """Tensor-product lattice structure of a Cartesian mesh/space.
 
@@ -252,6 +269,7 @@ class H1Space:
 
     def __init__(self, mesh: Mesh, p: int, structured: bool = True):
         self.struct = None
+        self.extruded = None
         det = None
         lattice = structured and mesh.elem_lattice is not None
         if lattice:
@@ -281,6 +299,8 @@ class H1Space:
             self._renumber_from_lattice()
         elif det is not None:
             self._try_structured_renumber(elem_dims)
+        if self.struct is None and structured:
+            self._try_extruded_renumber()
 
         # boundary face -> (element, local face) lookup
         if len(mesh.bdr_quads):
@@ -353,6 +373,115 @@ class H1Space:
         self.elem_dofs = new
         self.struct = StructuredInfo(dof_dims=(Dx, Dy, Dz),
                                      elem_dims=(nex, ney, nez), periodic=per)
+        self.__dict__.pop("node_coords", None)
+        self.__dict__.pop("node_mult", None)
+
+    def _try_extruded_renumber(self) -> None:
+        """Renumber dofs onto vertical columns of a z-extruded mesh.
+
+        Detects meshes built as a 2D quad mesh swept in z (the structure of
+        every wave tank, including unstructured Gmsh imports like the
+        reference's ``mesh_cylinder_half.msh``): element corners sit on two
+        consecutive z-levels, vertices stack in vertical columns, and every
+        layer repeats the same 2D footprint with the same orientation. On
+        success dofs are renumbered ``node2d * Dz + z`` (z fastest, so each
+        column is a contiguous slab), elements are reordered layer-major,
+        and ``self.extruded`` is set — enabling the column E-vector fast
+        path in :mod:`lpfem.operators`. The candidate numbering is verified
+        against the topological ``build_hex_dofs`` sharing pattern over
+        every element (bijective remap); on any mismatch the unstructured
+        numbering is silently kept.
+        """
+        mesh = self.mesh
+        ne = mesh.n_elems
+        p, p1 = self.p, self.p + 1
+        cz = np.round(mesh.corner_coords[:, :, 2], 9)      # [ne, 8]
+        levels = np.unique(cz)
+        nz = len(levels) - 1
+        if nz < 1 or ne % nz != 0:
+            return
+        lev = np.searchsorted(levels, cz)
+        # HEX_VERTS convention: corners 0..3 on the bottom face, 4..7 above
+        bot, top = lev[:, :4], lev[:, 4:]
+        if not (np.all(bot == bot[:, :1]) and np.all(top == bot[:, :1] + 1)):
+            return
+        layer = bot[:, 0]
+        if np.any(np.bincount(layer, minlength=nz) != ne // nz):
+            return
+
+        elems = mesh.elems
+        nv = mesh.n_verts
+        vz = np.round(mesh.verts[:, 2], 9)
+        vpos = np.searchsorted(levels, vz)
+        if not np.all(levels[np.clip(vpos, 0, nz)] == vz):
+            return
+        base = np.where(vpos == 0)[0]
+        n2d_v = len(base)
+        if n2d_v * (nz + 1) != nv:
+            return
+        # vertical vertex columns: propagate 2D ids level by level through
+        # each element's (bottom corner i) -> (top corner i+4) pairs
+        vert2d = np.full(nv, -1, dtype=np.int64)
+        vert2d[base] = np.arange(n2d_v)
+        for k in range(nz):
+            es = np.where(layer == k)[0]
+            src = elems[es, :4].ravel()
+            dst = elems[es, 4:].ravel()
+            new = vert2d[src]
+            if np.any(new < 0):
+                return
+            cur = vert2d[dst]
+            if np.any((cur >= 0) & (cur != new)):
+                return
+            vert2d[dst] = new
+        if np.any(vert2d < 0):
+            return
+
+        # 2D footprint from the layer-0 elements (their orientation); every
+        # element must repeat its column's footprint with the SAME corner
+        # order, else local dof lattices would disagree between layers
+        e0 = np.where(layer == 0)[0]
+        quads2d = vert2d[elems[e0][:, :4]]                 # [ne2d, 4]
+        ne2d = len(e0)
+        keys = np.sort(quads2d, axis=1)
+        dt4 = np.dtype([("", keys.dtype)] * 4)
+        tab = np.ascontiguousarray(keys).view(dt4).ravel()
+        order0 = np.argsort(tab)
+        all_q = vert2d[elems[:, :4]]
+        qk = np.ascontiguousarray(np.sort(all_q, axis=1)).view(dt4).ravel()
+        pos = np.searchsorted(tab[order0], qk)
+        if np.any(pos >= ne2d) or not np.all(tab[order0][pos] == qk):
+            return
+        col_of = order0[pos]                               # [ne]
+        if not np.array_equal(quads2d[col_of], all_q):
+            return                                         # rotated layer
+
+        ed2d, n2d = build_quad_dofs(quads2d, n2d_v, p)
+        Dz = p * nz + 1
+        if n2d * Dz != self.n_dofs:
+            return
+        # candidate numbering: dof = node2d * Dz + (p*layer + lz), local
+        # order lz major then the 2D lattice (s, r) — hex lattice-lex
+        lz = np.arange(p1)
+        zs = (p * layer)[:, None, None] + lz[None, :, None]   # [ne, p1, 1]
+        new = (ed2d[col_of][:, None, :] * Dz + zs).reshape(ne, p1 ** 3)
+        m = np.full(self.n_dofs, -1, dtype=np.int64)
+        m[self.elem_dofs.ravel()] = new.ravel()
+        if not np.array_equal(m[self.elem_dofs], new):
+            return
+        if m.min() < 0 or len(np.unique(m)) != self.n_dofs:
+            return
+
+        # commit: layer-major element order (matches the column gather)
+        eperm = np.argsort(layer * ne2d + col_of, kind="stable")
+        self.mesh = Mesh(
+            mesh.verts, mesh.elems[eperm], mesh.corner_coords[eperm],
+            mesh.bdr_quads, mesh.bdr_attrs, mesh.periodic,
+            None if mesh.geom_nodes is None else mesh.geom_nodes[eperm],
+            mesh.geom_order, periodic_axes=mesh.periodic_axes)
+        self.elem_dofs = new[eperm]
+        self._face_id = self._face_id[eperm]
+        self.extruded = ExtrudedInfo(ed2d=ed2d, n2d=n2d, Dz=Dz, nz=nz)
         self.__dict__.pop("node_coords", None)
         self.__dict__.pop("node_mult", None)
 

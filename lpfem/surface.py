@@ -118,14 +118,22 @@ class FreeSurfaceOperator:
                  cg_max_iter: int = 1000,
                  precond_fn=None,
                  op_hi: LaplacePA | None = None,
-                 ir_max_outer: int = 4, ir_inner_rtol_sq: float = 1e-8):
+                 ir_max_outer: int = 4, ir_inner_rtol_sq: float = 1e-8,
+                 op_solve=None):
         """``op_hi`` switches the Laplace solve to mixed precision: ``op``
         (f32) powers the inner CG + preconditioner, ``op_hi`` (f64) the outer
         true residuals and the z-derivative (``solvers.pcg_ir``) — MFEM's
         double-precision tolerances at near-f32 speed on the MXU
-        (``Solvers/PF_linear_par_partial.cpp:157-164``)."""
+        (``Solvers/PF_linear_par_partial.cpp:157-164``).
+
+        ``op_solve`` overrides the operator driving the CG solve (e.g. the
+        fully-assembled ELL :class:`~lpfem.operators.AssembledLaplace`, the
+        ``PF_linear_par`` full-assembly mode,
+        ``Solvers/PF_linear_par.cpp:114-120``); ``op`` keeps providing
+        geometry-derived roles (z-derivative, norms)."""
         self.op = op
         self.op_hi = op_hi
+        self.op_solve = op_solve if op_solve is not None else op
         self.surf = surf
         self.g = g
         self.relax = relax
@@ -144,7 +152,7 @@ class FreeSurfaceOperator:
             op.enable_top_plane_ess(s2v)   # in-kernel constraint fast path
         self.zderiv = NodalZDerivative(op_hi if op_hi is not None else op)
         # Jacobi preconditioner diagonal with identity on essential dofs
-        diag_c = op.diag.at[self.ess].set(1.0)
+        diag_c = self.op_solve.diag.at[self.ess].set(1.0)
         self._inv_diag = 1.0 / diag_c
         self._precond = precond_fn if precond_fn is not None \
             else (lambda r: r * self._inv_diag)
@@ -152,6 +160,8 @@ class FreeSurfaceOperator:
     def register_params(self, bp) -> None:
         """Thread large buffers as jit arguments (lpfem.params)."""
         self.op.register_params(bp)
+        if self.op_solve is not self.op:
+            self.op_solve.register_params(bp)
         if self.op_hi is not None:
             self.op_hi.register_params(bp)
         self.zderiv.register_params(bp)
@@ -179,10 +189,11 @@ class FreeSurfaceOperator:
                          inner_rtol_sq=self.ir_inner_rtol_sq,
                          inner_max_iter=self.cg_max_iter)
             return res.x, res.iters
-        b = jnp.zeros(op.n_dofs, dtype=phi_warm.dtype)
-        B, _ = op.constrained_rhs(b, ess, phi_fs)
+        sop = self.op_solve
+        b = jnp.zeros(sop.n_dofs, dtype=phi_warm.dtype)
+        B, _ = sop.constrained_rhs(b, ess, phi_fs)
         x0 = phi_warm.at[ess].set(phi_fs)
-        res = pcg(lambda v: op.constrained_apply(v, ess), B, x0,
+        res = pcg(lambda v: sop.constrained_apply(v, ess), B, x0,
                   precond_fn=self._precond,
                   rtol_sq=self.cg_rtol_sq, atol_sq=self.cg_atol_sq,
                   max_iter=self.cg_max_iter)

@@ -197,6 +197,27 @@ def test_sharded_pmg_h_coarsening_matches_single_device():
     assert np.max(np.abs(z_sh - z_ref)) < 1e-11 * scale
 
 
+def test_sharded_record_matches_single_device():
+    """Per-step trajectory records (error histories, envelopes) through the
+    sharded runner must equal the single-device hook — the analogue of the
+    reference gathering per-step outputs under MPI
+    (Solvers/cylinder-diffraction.cpp:537-560)."""
+    cfg = preset("pf_linear_periodic", nx=8, nz=2, order=3, nsteps=5,
+                 cg_max_iter=600)
+    prob = Problem(cfg)
+    ns = prob.surf.n_dofs
+    rec = lambda t, y, aux: (t, y[:ns])
+    (t1, y1, _), (ts1, etas1) = prob.run(n_steps=5, record=rec)
+    sprob = ShardedProblem(prob, mesh=make_device_mesh(4))
+    (t2, y2, _), (ts2, etas2) = sprob.run(n_steps=5, record=rec)
+    assert np.allclose(np.asarray(ts1), np.asarray(ts2))
+    err = np.max(np.abs(np.asarray(etas1) - np.asarray(etas2)))
+    assert err < 1e-10, err
+    # chunked resume through the record path reuses the same executable
+    (t3, y3, phi3), (ts3, etas3) = sprob.run(n_steps=5, record=rec)
+    assert np.allclose(np.asarray(etas3), np.asarray(etas2))
+
+
 def test_from_config_decentralized_setup():
     """ShardedProblem.from_config: setup computes on the host backend, every
     stacked table lands sharded (each device holds only its slice), lmax is

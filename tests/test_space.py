@@ -96,3 +96,40 @@ def test_project_roundtrip():
     u = sp.project(f)
     X = sp.node_coords
     assert np.allclose(u, f(X[:, 0], X[:, 1], X[:, 2]))
+
+
+def test_extruded_renumber_column_apply():
+    """Meshes without a declared lattice but built as a 2D-mesh z-extrusion
+    (every imported Gmsh tank, reference cylinder-diffraction.cpp:225) get
+    column dof numbering + the ColumnLattice E-vector fast path; the
+    operator must match the lattice-path operator exactly."""
+    import jax.numpy as jnp
+    from lpfem.cylmesh import make_half_cylinder_tank
+    from lpfem.mesh import Mesh
+    from lpfem.operators import LaplacePA
+
+    m = make_half_cylinder_tank(n_theta=10, n_r=5, nz=2, geom_order=2)
+    m2 = Mesh(m.verts, m.elems, m.corner_coords, m.bdr_quads, m.bdr_attrs,
+              m.periodic, m.geom_nodes, m.geom_order,
+              periodic_axes=m.periodic_axes)   # lattice stripped
+    spl = H1Space(m, 3)
+    spe = H1Space(m2, 3)
+    assert spl.struct is not None and spe.extruded is not None
+
+    opl, ope = LaplacePA(spl), LaplacePA(spe)
+    assert ope.column is not None
+
+    f = lambda X: np.sin(X[:, 0]) * np.cos(2 * X[:, 1]) + X[:, 2] ** 2
+    yl = np.asarray(opl.apply(jnp.asarray(f(spl.node_coords))))
+    ye = np.asarray(ope.apply(jnp.asarray(f(spe.node_coords))))
+    key = {tuple(np.round(c, 9)): i for i, c in enumerate(spl.node_coords)}
+    perm = np.array([key[tuple(np.round(c, 9))] for c in spe.node_coords])
+    assert np.max(np.abs(ye - yl[perm])) < 1e-11
+
+    # gather/scatter adjointness
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(spe.n_dofs))
+    w = jnp.asarray(rng.standard_normal((ope.column.ne, 4 ** 3)))
+    a = float(jnp.vdot(ope.column.gather(u), w))
+    b = float(jnp.vdot(u, ope.column.scatter(w)))
+    assert np.isclose(a, b, rtol=1e-12)

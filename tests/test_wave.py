@@ -114,3 +114,22 @@ def test_check_state_reports_in_scan_divergence():
     prob._last_ok = np.bool_(False)   # simulate a frozen scan
     with pytest.raises(FloatingPointError):
         prob.check_state(y, phi)
+
+
+def test_assembled_apply_mode_matches_pa():
+    """apply_mode='assembled' runs the time loop's CG on the fully assembled
+    ELL SpMV (the PF_linear_par full-assembly configuration,
+    Solvers/PF_linear_par.cpp:114-120); the trajectory must match the
+    matrix-free PA path to solver tolerance."""
+    from lpfem.configs import preset
+    from lpfem.problem import Problem
+
+    kw = dict(nx=8, order=2, nsteps=4, cg_max_iter=800)
+    pa = Problem(preset("pf_linear_par", apply_mode="fused", **kw))
+    (t1, y1, _), _ = pa.run(n_steps=4)
+    asm = Problem(preset("pf_linear_par", apply_mode="assembled", **kw))
+    assert asm.op_solve is not None and asm.op_solve.row_nnz_max > 0
+    (t2, y2, _), _ = asm.run(n_steps=4)
+    err = float(np.max(np.abs(np.asarray(y1) - np.asarray(y2))))
+    scale = max(float(np.max(np.abs(np.asarray(y1)))), 1e-30)
+    assert err < 1e-8 * max(scale, 1e-3), (err, scale)
