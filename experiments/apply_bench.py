@@ -37,6 +37,55 @@ def _time_program(fn, *args, repeats=5):
     return statistics.median(walls)
 
 
+def cylinder_main(args):
+    """Unstructured-import apply paths on the half-cylinder tank: declared
+    lattice (structured unfold/fold) vs recovered z-extrusion (ColumnLattice)
+    vs raw ``x[elem_dofs]`` gather — the three tiers an imported Gmsh mesh
+    can land on (reference ``Solvers/cylinder-diffraction.cpp:225``)."""
+    import jax
+    import jax.numpy as jnp
+    from lpfem.cylmesh import make_half_cylinder_tank
+    from lpfem.mesh import Mesh
+    from lpfem.operators import LaplacePA
+    from lpfem.params import BigParams, jit_with_params
+    from lpfem.space import H1Space
+
+    m = make_half_cylinder_tank(n_theta=args.n_theta, n_r=args.n_r,
+                                nz=args.cyl_nz, geom_order=args.order,
+                                dr_max=0.25)
+    m2 = Mesh(m.verts, m.elems, m.corner_coords, m.bdr_quads, m.bdr_attrs,
+              m.periodic, m.geom_nodes, m.geom_order,
+              periodic_axes=m.periodic_axes)          # lattice stripped
+    rng = np.random.default_rng(0)
+    res = {}
+    for label, mesh, structured in (("lattice", m, True),
+                                    ("column", m2, True),
+                                    ("gather", m2, False)):
+        sp = H1Space(mesh, args.order, structured=structured)
+        op = LaplacePA(sp, dtype=jnp.float32)
+        if label == "column":
+            assert sp.extruded is not None and op.column is not None
+        if label == "gather":
+            assert sp.struct is None and getattr(sp, "extruded", None) is None
+        bp = BigParams()
+        op.register_params(bp)
+        x = jnp.asarray(rng.standard_normal(sp.n_dofs), dtype=jnp.float32)
+        n_it = args.iters
+
+        def run(x, op=op, n_it=n_it):
+            return jax.lax.fori_loop(0, n_it, lambda i, v: op.apply(v), x)
+
+        t = _time_program(jit_with_params(run, bp), x,
+                          repeats=args.repeats) / n_it
+        per_dof = t / sp.n_dofs * 1e9
+        print(f"{label:>8}: {t * 1e3:.3f} ms  ({per_dof:.3f} ns/dof, "
+              f"dofs={sp.n_dofs})")
+        res[label] = per_dof
+    print(f"column vs lattice per-dof ratio: "
+          f"{res['column'] / res['lattice']:.2f}x; "
+          f"gather vs lattice: {res['gather'] / res['lattice']:.2f}x")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--refs", type=int, default=1)
@@ -48,7 +97,17 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--skip-compact", action="store_true",
                     help="skip the slow gather+einsum contrast")
+    ap.add_argument("--cylinder", action="store_true",
+                    help="benchmark the unstructured-import paths on the "
+                         "half-cylinder tank instead")
+    ap.add_argument("--n-theta", type=int, default=96)
+    ap.add_argument("--n-r", type=int, default=16)
+    ap.add_argument("--cyl-nz", type=int, default=1)
     args = ap.parse_args()
+
+    if args.cylinder:
+        cylinder_main(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--nz", type=int, default=2)
     ap.add_argument("--nsteps", type=int, default=150)
     ap.add_argument("--precond", default="pmg")
+    ap.add_argument("--dtype", default="float64",
+                    choices=["float64", "float32", "mixed"],
+                    help="mixed reproduces the f64 convergence table on the "
+                         "TPU (f32 inner CG + V-cycle, f64 outer residuals)")
     ap.add_argument("--shard", type=int, default=0,
                     help="run each case through the n-device sharded runner "
                          "(the reference's mpirun form, convergence-"
@@ -46,6 +50,7 @@ def main():
     def run(order, mesh=None, nx=None, nz=None):
         cfg = preset("pf_linear_periodic", nx=nx or args.nx, nz=nz or args.nz,
                      order=order, nsteps=args.nsteps, cg_max_iter=2000,
+                     dtype=args.dtype,
                      precond=args.precond if order > 1 else "jacobi")
         prob = Problem(cfg, mesh=mesh, build_precond=not args.shard)
         t0 = time.perf_counter()
@@ -58,8 +63,9 @@ def main():
             (t, y, phi), _ = prob.run()
         wall = time.perf_counter() - t0
         eta_err = prob.eta_error_inf(y, float(t))
-        # w error at final time (the hconv driver's metric)
-        w = np.asarray(NodalZDerivative(prob.op)(np.asarray(phi)))
+        # w error at final time (the hconv driver's metric); mixed carries
+        # the f64 state so the derivative runs through the f64 operator
+        w = np.asarray(NodalZDerivative(prob.op_hi or prob.op)(np.asarray(phi)))
         w_ex = prob.space.project(
             lambda x, yy, z: prob.wave.w_vel(x, yy, z, float(t)))
         w_err = float(np.max(np.abs(w - w_ex)))

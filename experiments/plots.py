@@ -51,21 +51,31 @@ def plot_scaling(path: str, out: str | None = None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    d = np.loadtxt(path, ndmin=2, dtype=object, converters=None, comments="#")
-    d = np.array([[row[0]] + [float(v) for v in row[1:]] for row in d],
-                 dtype=object)
-    orders = sorted({int(r[1]) for r in d})
+    # columns: mode order par_ref shards dofs [precond] median_wall_s ...
+    # (precond column added in round 3; handle both layouts)
+    rows = []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            has_precond = not tok[5].replace(".", "").replace("e", "") \
+                .replace("-", "").replace("+", "").isdigit()
+            wall_i = 6 if has_precond else 5
+            rows.append((int(tok[1]), int(tok[2]), int(tok[3]),
+                         float(tok[wall_i])))
+    groups = sorted({(o, pr) for o, pr, _, _ in rows})
     fig, axes = plt.subplots(1, 3, figsize=(13, 4))
-    for order in orders:
-        rows = np.array([[float(v) for v in r[1:]] for r in d
-                         if int(r[1]) == order])
-        shards, wall = rows[:, 2], rows[:, 4]
-        idx = np.argsort(shards)
-        shards, wall = shards[idx], wall[idx]
+    for order, par_ref in groups:
+        rs = np.array([(s, w) for o, pr, s, w in rows
+                       if o == order and pr == par_ref])
+        idx = np.argsort(rs[:, 0])
+        shards, wall = rs[idx, 0], rs[idx, 1]
         t1 = wall[shards == 1][0] if np.any(shards == 1) else wall[0]
-        axes[0].plot(shards, wall, "o-", label=f"p={order}")
-        axes[1].plot(shards, t1 / wall, "o-", label=f"p={order}")
-        axes[2].plot(shards, t1 / (shards * wall), "o-", label=f"p={order}")
+        lbl = f"p={order}, ref={par_ref}"
+        axes[0].plot(shards, wall, "o-", label=lbl)
+        axes[1].plot(shards, t1 / wall, "o-", label=lbl)
+        axes[2].plot(shards, t1 / (shards * wall), "o-", label=lbl)
     axes[1].plot(shards, shards, "k--", lw=0.8, label="ideal")
     for ax, title in zip(axes, ["runtime [s]", "speedup $T_1/T_p$",
                                 r"efficiency $\gamma_s$"]):

@@ -37,6 +37,11 @@ def main():
                     help="extra refinements (strong mode)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--precond", default="jacobi",
+                    choices=["jacobi", "chebyshev", "pmg"],
+                    help="ss.cpp uses partial assembly + Jacobi; pmg keeps "
+                         "protocol-size (>=2M dof) rows tractable on the "
+                         "virtual-CPU mesh")
     ap.add_argument("--virtual-devices", type=int, default=0,
                     help="force N virtual CPU devices (0 = use real devices)")
     ap.add_argument("--out", default=None)
@@ -60,7 +65,7 @@ def main():
     note = ("virtual-device runs share one host CPU: they validate the SPMD "
             "protocol and shard-count-invariant physics, not hardware "
             "speedup; the comm columns model the expected real-slice cost")
-    df = DataFile(out, "mode order par_ref shards dofs median_wall_s "
+    df = DataFile(out, "mode order par_ref shards dofs precond median_wall_s "
                        "exchange NS halo_B_per_apply est_ici_us_per_apply "
                        "runs...  [" + (note if args.virtual_devices else "real devices") + "]")
 
@@ -79,8 +84,9 @@ def main():
                 par_ref = args.par_ref
             cfg = preset("scaling_base", order=order, nx=nx, ny=ny, nz=nz,
                          ref_levels=par_ref, dtype=args.dtype,
+                         precond=args.precond,
                          cg_rtol_sq=1e-8, cg_max_iter=300)
-            prob = Problem(cfg)
+            prob = Problem(cfg, build_precond=False)
             sprob = ShardedProblem(prob, mesh=make_device_mesh(ns))
             y0, phi0 = prob.initial_state()
             # warm-up (excluded, ss.cpp:254) — also compiles; block so the
@@ -111,7 +117,8 @@ def main():
                 ring = 2 * (ns - 1) / max(ns, 1)
                 est_us = 2 * (ring * (NS + 1) * itemsize / ICI_BW
                               + ns * ICI_LAT) * 1e6
-            df.append(args.mode, order, par_ref, ns, prob.space.n_dofs, med,
+            df.append(args.mode, order, par_ref, ns, prob.space.n_dofs,
+                      args.precond, med,
                       ex, NS, halo_bytes, round(est_us, 2),
                       *[round(w, 4) for w in walls])
             print(f"{args.mode} order={order} shards={ns} dofs={prob.space.n_dofs} "

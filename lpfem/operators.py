@@ -600,11 +600,20 @@ class NodalZDerivative:
                       t3g(cc, D1n, B1n, B1n)], axis=-1).reshape(ne, p1 ** 3, 3, 3)
         Jinv = np.linalg.inv(J)
         # only the z-column is needed: grad_z = sum_i Jinv[i, 2] * ghat_i
-        self.Jinv_z = jnp.asarray(Jinv[..., 2], dtype=op.dtype)   # [ne, L, 3]
+        Jz = Jinv[..., 2]                                          # [ne, L, 3]
+        # affine elements have a constant Jacobian: compact the metric to 3
+        # floats/element — at 17M dofs the [ne, L, 3] stream is ~3 GB per
+        # z-derivative, the largest HBM read of the RK4 stage after the
+        # solve itself (same trade as LaplacePA.C6)
+        ztol = 1e-6 if np.dtype(op.dtype) == np.float32 else 1e-12
+        self.Jz3 = None
+        if np.max(np.abs(Jz - Jz[:, :1, :])) <= ztol * np.max(np.abs(Jz)):
+            self.Jz3 = jnp.asarray(Jz[:, 0, :], dtype=op.dtype)   # [ne, 3]
+        self.Jinv_z = jnp.asarray(Jz, dtype=op.dtype)             # [ne, L, 3]
         self.inv_mult = jnp.asarray(1.0 / space.node_mult, dtype=op.dtype)
 
     def register_params(self, bp) -> None:
-        bp.register(self, "Jinv_z", "inv_mult")
+        bp.register(self, "Jinv_z", "Jz3", "inv_mult")
         self.op.register_params(bp)
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -620,8 +629,12 @@ class NodalZDerivative:
         gx = t3(u, Bn, Bn, Dn).reshape(ne, p1 ** 3)
         gy = t3(u, Bn, Dn, Bn).reshape(ne, p1 ** 3)
         gz = t3(u, Dn, Bn, Bn).reshape(ne, p1 ** 3)
-        ghat = jnp.stack([gx, gy, gz], axis=-1)                   # [ne, L, 3]
-        w_e = jnp.einsum("eli,eli->el", self.Jinv_z, ghat)
+        if self.Jz3 is not None:
+            Jz = self.Jz3
+            w_e = Jz[:, 0:1] * gx + Jz[:, 1:2] * gy + Jz[:, 2:3] * gz
+        else:
+            ghat = jnp.stack([gx, gy, gz], axis=-1)               # [ne, L, 3]
+            w_e = jnp.einsum("eli,eli->el", self.Jinv_z, ghat)
 
         return op.assemble(w_e) * self.inv_mult
 

@@ -1032,10 +1032,13 @@ class ShardedProblem:
                                   exchange=exchange, put=put,
                                   device_mesh=self.mesh, lmax_mode=lmax_mode)
 
-        # ---- z-derivative tables ----
+        # ---- z-derivative tables (compact affine metric when available:
+        # 3 floats/element instead of 3 per node, see NodalZDerivative) ----
         zd = prob.fso.zderiv
         npdt = np.dtype(self.dtype)
-        self.Jinv_z = put(pt.stack_elem(np.asarray(zd.Jinv_z)).astype(npdt))
+        self._zd_affine = zd.Jz3 is not None
+        zsrc = zd.Jz3 if self._zd_affine else zd.Jinv_z
+        self.Jinv_z = put(pt.stack_elem(np.asarray(zsrc)).astype(npdt))
         self.Dn = zd.Dn
         self.p1 = sp.p + 1
 
@@ -1094,8 +1097,12 @@ class ShardedProblem:
         gx = t3(u, Bn, Bn, Dn).reshape(ne, p1 ** 3)
         gy = t3(u, Bn, Dn, Bn).reshape(ne, p1 ** 3)
         gz = t3(u, Dn, Bn, Bn).reshape(ne, p1 ** 3)
-        ghat = jnp.stack([gx, gy, gz], axis=-1)
-        w_e = jnp.einsum("eli,eli->el", jinv_z, ghat)
+        if self._zd_affine:
+            w_e = (jinv_z[:, 0:1] * gx + jinv_z[:, 1:2] * gy
+                   + jinv_z[:, 2:3] * gz)
+        else:
+            ghat = jnp.stack([gx, gy, gz], axis=-1)
+            w_e = jnp.einsum("eli,eli->el", jinv_z, ghat)
         return lv.assemble_E(tb, w_e) * tb["invm"]
 
     def _make_spmd_rhs(self):
