@@ -39,6 +39,28 @@ import time
 import numpy as np
 
 
+def extract_rim(X, cx, cy, radius, tol, values):
+    """Rim trace (theta, value) from surface node coords + nodal field.
+
+    Keeps nodes with ``|r - radius| <= tol`` and ``theta >= 0``, sorted by
+    theta with duplicate angles removed — the reference's extraction loop
+    (``cylinder-diffraction.cpp:479-498,563-591``) minus its loose 5e-3
+    band: with an exact-rim mesh (polar ring / curvature-snapped Gmsh) a
+    tight ``tol`` keeps ONLY the r=a ring, excluding first-interior GLL
+    nodes (~1.1e-3 off the rim at p=4) whose smaller envelope values show
+    up as paired-point spikes in eta(theta).
+    """
+    X = np.asarray(X)
+    r = np.hypot(X[:, 0] - cx, X[:, 1] - cy)
+    theta = np.arctan2(X[:, 1] - cy, X[:, 0] - cx)
+    keep = (np.abs(r - radius) <= tol) & (theta >= 0)
+    th, vals = theta[keep], np.asarray(values)[keep]
+    order_i = np.argsort(th)
+    th, vals = th[order_i], vals[order_i]
+    uniq = np.concatenate([[True], np.diff(th) > 1e-10])
+    return th[uniq], vals[uniq]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--order", type=int, default=4)
@@ -212,16 +234,8 @@ def main():
     sel = ts >= t_last_start - 1e-12
     env = np.max(etas[sel], axis=0) * (2.0 / args.H)
 
-    # rim extraction (":479-498")
-    r = np.hypot(X[:, 0] - args.cx, X[:, 1] - args.cy)
-    theta = np.arctan2(X[:, 1] - args.cy, X[:, 0] - args.cx)
-    keep = (np.abs(r - args.radius) <= args.rim_tol) & (theta >= 0)
-    th, vals = theta[keep], env[keep]
-    order_i = np.argsort(th)
-    th, vals = th[order_i], vals[order_i]
-    # dedup (":585-591")
-    uniq = np.concatenate([[True], np.diff(th) > 1e-10])
-    th, vals = th[uniq], vals[uniq]
+    # rim extraction (":479-498") + dedup (":585-591")
+    th, vals = extract_rim(X, args.cx, args.cy, args.radius, args.rim_tol, env)
 
     # fresh file per run (the rim table is a result set, not an append log)
     if os.path.exists(args.out):

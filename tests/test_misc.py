@@ -239,3 +239,34 @@ def test_glvis_stream(tmp_path):
     dead = GLVisStream("127.0.0.1", port)
     assert not dead.send(surf, u[surf.surf_to_vol])
     assert not dead.send(surf, u[surf.surf_to_vol])
+
+
+def test_rim_extraction_exact_ring_only():
+    """The diffraction rim trace must keep ONLY the r=a ring. The
+    reference's loose 5e-3 band (cylinder-diffraction.cpp:483) also
+    catches first-interior GLL nodes on a wave-resolving mesh, whose
+    off-rim field values appear as paired-point spikes in eta(theta) —
+    the exact failure the tight default tolerance exists to prevent."""
+    from experiments.diffraction import extract_rim
+    p = 4
+    m = make_half_cylinder_tank(Lx=4.0, Ly=2.0, cx=2.0, a=0.5,
+                                n_theta=64, nz=1, dr_max=0.25,
+                                grading=1.4, geom_order=p)
+    sp = H1Space(m, p)
+    surf = SurfaceSpace(sp, attr=2)
+    X = np.asarray(surf.node_coords)
+    field = np.hypot(X[:, 0] - 2.0, X[:, 1])   # sentinel: node radius
+
+    th, vals = extract_rim(X, 2.0, 0.0, 0.5, 1e-9, field)
+    # exact ring: every kept node sits on r=a to roundoff, angles unique,
+    # full half-circle arc at p nodes per angular element
+    assert len(th) == p * 64 + 1
+    assert np.max(np.abs(vals - 0.5)) < 1e-9
+    assert np.all(np.diff(th) > 0)
+    assert abs(th[0]) < 1e-12 and abs(th[-1] - np.pi) < 1e-12
+
+    # the reference band DOES select off-rim nodes here (first interior
+    # GLL ring ~ 2.7e-3 off the rim) — the spike mechanism is real; only
+    # the tight tolerance guarantees a pure-rim trace
+    r = field
+    assert np.sum(np.abs(r - 0.5) <= 5e-3) >= 2 * np.sum(np.abs(r - 0.5) <= 1e-9)
