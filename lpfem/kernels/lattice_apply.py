@@ -235,7 +235,8 @@ def _kernel(*refs, p: int, Q: int, nex: int, ney: int, cb: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "dims", "periodic", "ess_top", "precision", "interpret"))
+    "p", "dims", "periodic", "ess_top", "precision", "interpret",
+    "lane_budget"))
 def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
                          Jr2: jax.Array, *, p: int,
                          dims: tuple[int, int, int],
@@ -243,6 +244,7 @@ def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
                          ess_top: bool = False,
                          precision: str | None = None,
                          interpret: bool = False,
+                         lane_budget: int | None = None,
                          shard_scal: jax.Array | None = None,
                          p0: jax.Array | None = None):
     """y = A x on the structured lattice, fully fused.
@@ -282,8 +284,14 @@ def lattice_affine_apply(x: jax.Array, C6w: jax.Array, w3col: jax.Array,
         if shard:
             p0 = jnp.pad(p0, ((0, 0), (0, 0), (0, Dxp - Dx)))
 
-    # lane budget per matmul chunk: ~1024 columns keeps VMEM ~10MB
-    cb = max(1, min(ney, 1024 // Dxp))
+    # lane budget per matmul chunk (columns per MXU call): bigger chunks
+    # amortize the systolic-array fill over more columns but grow the VMEM
+    # footprint (~4 KB/column at p=4; ~16 MB scoped limit). Swept on chip:
+    # 2048 columns is ~9% faster at Dxp=512; at Dxp=1024 wider chunks are
+    # neutral-to-slower and 4096 overflows VMEM, so stay at 1024.
+    if lane_budget is None:
+        lane_budget = 2048 if Dxp <= 512 else 1024
+    cb = max(1, min(ney, lane_budget // Dxp))
 
     kern = functools.partial(_kernel, p=p, Q=Q, nex=nex, ney=ney, cb=cb,
                              Dx=Dx, Dxp=Dxp, px=px, ess_top=ess_top,

@@ -103,31 +103,79 @@ def _interp_1d(p_coarse: int, p_fine: int) -> np.ndarray:
     return Bc
 
 
+def _axis_interp(n: int, pc: int, pf: int, periodic: bool) -> np.ndarray:
+    """Grid-level 1D interpolation matrix [Df, Dc] from the order-``pc``
+    GLL grid to the order-``pf`` GLL grid over ``n`` elements. Banded
+    (each fine node depends on one element's pc+1 coarse nodes); shared
+    boundary-node rows coincide between neighboring elements."""
+    I1 = _interp_1d(pc, pf)
+    Dc = n * pc + (0 if periodic else 1)
+    Df = n * pf + (0 if periodic else 1)
+    P = np.zeros((Df, Dc))
+    for e in range(n):
+        rows = (e * pf + np.arange(pf + 1)) % Df
+        cols = (e * pc + np.arange(pc + 1)) % Dc
+        P[np.ix_(rows, cols)] = I1
+    return P
+
+
 class _Transfer:
     """Embedded-interpolation transfer between two consecutive levels.
 
-    ``via`` supplies the fine-side gather/assemble and nodal multiplicity.
-    For p-coarsening on one mesh, ``via`` is the fine level itself. For
-    h-coarsening below p=1 on structured meshes, ``via`` is a helper p=2
-    space on the half mesh — on the structured lattice its global dof
-    numbering is IDENTICAL to the fine p=1 space's (midpoints of a uniform
-    refinement are exactly the p=2 GLL nodes), so its fold/unfold realize
-    the fine side of the transfer directly.
+    Two realizations of the same operator P (and its exact transpose):
+
+    - **Lattice fast path** (``P1s`` set): on structured-lattice dof
+      numbering the grid-level prolongation is the tensor product
+      ``Pz x Py x Px`` of banded 1D matrices, applied as three dense
+      per-axis contractions — pure MXU work with full-width lanes, no
+      E-vector round-trips (the compact [ne, L] gather/assemble tiles
+      badly on TPU; measured ~10 ms per V-cycle at 17M dofs).
+    - **Element path** (fallback): ``via`` supplies the fine-side
+      gather/assemble and nodal multiplicity. For p-coarsening on one
+      mesh, ``via`` is the fine level itself. For h-coarsening below p=1
+      on structured meshes, ``via`` is a helper p=2 space on the half
+      mesh — on the structured lattice its global dof numbering is
+      IDENTICAL to the fine p=1 space's (midpoints of a uniform
+      refinement are exactly the p=2 GLL nodes), so its fold/unfold
+      realize the fine side of the transfer directly.
+
+    Both compute identical operators: grid-level,
+    ``P = M_f^{-1} A_f I3 G_c`` collapses to pure interpolation (duplicate
+    element contributions at shared nodes are equal), and the element
+    restrict ``A_c I3^T G_f M_f^{-1}`` is exactly ``P^T``.
     """
 
-    def __init__(self, I3, via_gather, via_assemble, via_inv_mult):
+    def __init__(self, I3, via_gather, via_assemble, via_inv_mult,
+                 P1s=None, fine_shape=None, coarse_shape=None):
         self.I3 = I3
         self.via_gather = via_gather
         self.via_assemble = via_assemble
         self.via_inv_mult = via_inv_mult
+        self.P1z = self.P1y = self.P1x = None
+        if P1s is not None:
+            self.P1z, self.P1y, self.P1x = P1s
+        self.fine_shape = fine_shape
+        self.coarse_shape = coarse_shape
 
     def prolong(self, coarse: "_Level", fine: "_Level", xc):
+        if self.P1x is not None:
+            v = xc.reshape(self.coarse_shape)
+            v = jnp.einsum("ZC,Cyx->Zyx", self.P1z, v)
+            v = jnp.einsum("YC,zCx->zYx", self.P1y, v)
+            v = jnp.einsum("XC,zyC->zyX", self.P1x, v)
+            return v.reshape(-1) * fine.free
         uc = coarse.op.gather_E(xc)
         uf = jnp.einsum("fc,ec->ef", self.I3, uc)
         xf = self.via_assemble(uf) * self.via_inv_mult
         return xf * fine.free
 
     def restrict(self, coarse: "_Level", fine: "_Level", rf):
+        if self.P1x is not None:
+            v = rf.reshape(self.fine_shape)
+            v = jnp.einsum("ZC,Zyx->Cyx", self.P1z, v)
+            v = jnp.einsum("YC,zYx->zCx", self.P1y, v)
+            v = jnp.einsum("XC,zyX->zyC", self.P1x, v)
+            return v.reshape(-1) * coarse.free
         uf = self.via_gather(rf * self.via_inv_mult)
         uc = jnp.einsum("fc,ef->ec", self.I3, uf)
         rc = coarse.op.assemble(uc)
@@ -251,9 +299,21 @@ class PMultigrid:
         self.transfers: list[_Transfer] = []
         for li in range(len(levels) - 1):
             fl = self.levels[li]
+            stf = fl.op.space.struct
+            stc = self.levels[li + 1].op.space.struct
+            P1s = fshape = cshape = None
+            if stf is not None and stc is not None:
+                pc, pf = levels[li + 1], levels[li]
+                dims, per = stf.elem_dims, stf.periodic
+                P1s = tuple(jnp.asarray(
+                    _axis_interp(dims[a], pc, pf, per[a]),
+                    dtype=fine_op.dtype) for a in (2, 1, 0))
+                fshape = tuple(reversed(stf.dof_dims))
+                cshape = tuple(reversed(stc.dof_dims))
             self.transfers.append(_Transfer(
                 _I3(levels[li + 1], levels[li]),
-                fl.op.gather_E, fl.op.assemble, fl.inv_mult))
+                fl.op.gather_E, fl.op.assemble, fl.inv_mult,
+                P1s=P1s, fine_shape=fshape, coarse_shape=cshape))
 
         # ---- h-coarsening below p=1 (structured tank meshes) ----
         # On the lattice numbering, p=1 on a uniformly refined Cartesian mesh
@@ -290,8 +350,13 @@ class PMultigrid:
             from .operators import StructuredLattice
             lat = StructuredLattice(hs.struct, 2)
             hs_inv_mult = jnp.asarray(1.0 / hs.node_mult, dtype=fine_op.dtype)
-            self.transfers.append(_Transfer(_I3(1, 2), lat.gather, lat.scatter,
-                                            hs_inv_mult))
+            dims_c, per_c = sp_c.struct.elem_dims, sp_c.struct.periodic
+            P1s = tuple(jnp.asarray(_axis_interp(dims_c[a], 1, 2, per_c[a]),
+                                    dtype=fine_op.dtype) for a in (2, 1, 0))
+            self.transfers.append(_Transfer(
+                _I3(1, 2), lat.gather, lat.scatter, hs_inv_mult, P1s=P1s,
+                fine_shape=tuple(reversed(sp_b.struct.dof_dims)),
+                coarse_shape=tuple(reversed(sp_c.struct.dof_dims))))
             self.levels.append(lvl_c)
             self.orders = self.orders + [1]
 
@@ -361,5 +426,5 @@ class PMultigrid:
         for sm in self.smoothers:
             bp.register(sm, "inv_diag")
         for tr in self.transfers:
-            bp.register(tr, "via_inv_mult")
+            bp.register(tr, "via_inv_mult", "P1z", "P1y", "P1x")
         bp.register(self, "_coarse_inv")

@@ -125,3 +125,33 @@ def test_pmg_h_coarsening_below_p1():
     res = pcg(lambda v: op.constrained_apply(v, ess), B, x0, precond_fn=pmg,
               rtol_sq=1e-24, max_iter=500)
     assert int(res.iters) < 25, int(res.iters)
+
+
+def test_lattice_transfer_fast_path_equivalence():
+    """The dense per-axis grid transfers (MXU fast path) must compute the
+    exact same operator as the element-path gather/interp/assemble, for
+    p-transfers AND the h-transfer below p=1 (periodic x included)."""
+    import jax.numpy as jnp
+    from lpfem.mesh import make_wave_tank
+    from lpfem.multigrid import PMultigrid
+    from lpfem.operators import LaplacePA
+    from lpfem.space import H1Space
+
+    m = make_wave_tank(16, 4, 8)
+    op = LaplacePA(H1Space(m, 4))
+    mg = PMultigrid(op, h_coarsen_min_dofs=0, coarse_dense_limit=200)
+    assert len(mg.transfers) >= 3          # p: 4->2->1, h: below p=1
+    rng = np.random.default_rng(0)
+    for li, tr in enumerate(mg.transfers):
+        cl, fl = mg.levels[li + 1], mg.levels[li]
+        assert tr.P1x is not None
+        xc = jnp.asarray(rng.standard_normal(cl.op.n_dofs))
+        rf = jnp.asarray(rng.standard_normal(fl.op.n_dofs))
+        pf_new = tr.prolong(cl, fl, xc)
+        rs_new = tr.restrict(cl, fl, rf)
+        tr.P1x, keep = None, tr.P1x
+        pf_old = tr.prolong(cl, fl, xc)
+        rs_old = tr.restrict(cl, fl, rf)
+        tr.P1x = keep
+        assert float(jnp.max(jnp.abs(pf_new - pf_old))) < 1e-11
+        assert float(jnp.max(jnp.abs(rs_new - rs_old))) < 1e-11
