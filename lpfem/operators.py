@@ -611,9 +611,78 @@ class NodalZDerivative:
             self.Jz3 = jnp.asarray(Jz[:, 0, :], dtype=op.dtype)   # [ne, 3]
         self.Jinv_z = jnp.asarray(Jz, dtype=op.dtype)             # [ne, L, 3]
         self.inv_mult = jnp.asarray(1.0 / space.node_mult, dtype=op.dtype)
+        self._Jz_np = Jz[:, 0, :] if self.Jz3 is not None else None
+        self._top = None
+
+    def enable_top_trace(self, ess: np.ndarray) -> bool:
+        """Precompute the free-surface trace fast path (used by
+        :class:`~lpfem.surface.FreeSurfaceOperator`): on z-extruded geometry
+        — inverse-Jacobian z-column exactly ``(0, 0, jz)`` with one ``jz``
+        across the top element layer — the top-plane nodal derivative is
+        element-independent, so the trace needs only the top ``p+1`` dof
+        planes: ``w(x, y) = jz * sum_m Dn[p, m] * phi[z = Dz-1-p+m, y, x]``
+        (no E-vector round trip; ~nez-fold less HBM traffic than the full
+        volume derivative whose trace MFEM's ``GetDerivative`` +
+        ``GetSubVector`` takes, ``Solvers/PF_linear_serial.cpp:175,268``).
+
+        ``ess`` are the volume dof indices of the surface nodes, in surface
+        order. Returns True (and arms :meth:`top_trace`) when the geometry
+        and dof layout qualify; False leaves the full path in use.
+        """
+        sp = self.op.space
+        Jz = self._Jz_np
+        if Jz is None:
+            return False
+        scale = np.max(np.abs(Jz[:, 2]))
+        if scale == 0.0 or np.max(np.abs(Jz[:, :2])) > 1e-13 * scale:
+            return False
+        ess = np.asarray(ess)
+        st = getattr(sp, "struct", None)
+        ext = getattr(sp, "extruded", None)
+        if st is not None:
+            Dx, Dy, Dz = st.dof_dims
+            if st.periodic[2]:
+                return False
+            jz_top = Jz[-st.elem_dims[0] * st.elem_dims[1]:, 2]
+            off = (Dz - 1) * Dy * Dx
+            if np.any(ess < off):
+                return False
+            idx, nplane = ess - off, Dy * Dx
+        elif ext is not None:
+            Dz = ext.Dz
+            jz_top = Jz[-ext.ed2d.shape[0]:, 2]
+            if np.any(ess % Dz != Dz - 1):
+                return False
+            idx, nplane = ess // Dz, ext.n2d
+        else:
+            return False
+        if np.max(jz_top) - np.min(jz_top) > 1e-13 * scale:
+            return False
+        self._top = (float(jz_top[0]), "struct" if st is not None else "ext",
+                     int(Dz), int(nplane))
+        self.top_idx = jnp.asarray(idx.astype(np.int32))
+        return True
+
+    def top_trace(self, x: jax.Array) -> jax.Array:
+        """Free-surface trace of the nodal z-derivative (requires a prior
+        successful :meth:`enable_top_trace`); identical values to
+        ``self(x)[ess]`` — the dropped in-plane metric terms are exact zeros
+        and the shared-node average collapses (k equal contributions / k)."""
+        jz, layout, Dz, nplane = self._top
+        p1 = self.p1
+        dn = self.Dn[p1 - 1]
+        if layout == "struct":
+            xs = x.reshape(Dz, nplane)[Dz - p1:]
+            w = jz * (dn @ xs)
+        else:
+            xs = x.reshape(nplane, Dz)[:, Dz - p1:]
+            w = jz * (xs @ dn)
+        return w[self.top_idx]
 
     def register_params(self, bp) -> None:
         bp.register(self, "Jinv_z", "Jz3", "inv_mult")
+        if self._top is not None:
+            bp.register(self, "top_idx")
         self.op.register_params(bp)
 
     def __call__(self, x: jax.Array) -> jax.Array:

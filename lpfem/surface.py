@@ -151,6 +151,7 @@ class FreeSurfaceOperator:
         if hasattr(op, "enable_top_plane_ess"):
             op.enable_top_plane_ess(s2v)   # in-kernel constraint fast path
         self.zderiv = NodalZDerivative(op_hi if op_hi is not None else op)
+        self._zd_top = self.zderiv.enable_top_trace(s2v)
         # Jacobi preconditioner diagonal with identity on essential dofs
         diag_c = self.op_solve.diag.at[self.ess].set(1.0)
         self._inv_diag = 1.0 / diag_c
@@ -206,8 +207,10 @@ class FreeSurfaceOperator:
 
         phi, _ = self.solve_laplace(phi_fs, phi)
 
-        w = self.zderiv(phi)
-        w_tilde = w[self.ess]
+        if self._zd_top:
+            w_tilde = self.zderiv.top_trace(phi)
+        else:
+            w_tilde = self.zderiv(phi)[self.ess]
 
         deta = w_tilde
         dphi_fs = -self.g * eta

@@ -142,3 +142,47 @@ def test_polynomial_exactness_solve():
               precond_fn=jacobi_preconditioner(diag_c), rtol_sq=1e-28, max_iter=500)
     u_ex = sp.project(harm)
     assert np.allclose(np.asarray(res.x), u_ex, atol=1e-10)
+
+
+def test_top_trace_fast_path():
+    """NodalZDerivative.top_trace == full derivative restricted to the
+    surface nodes (the RK4 RHS only needs the trace; on z-extruded geometry
+    it reads just the top p+1 dof planes)."""
+    from lpfem.space import SurfaceSpace
+
+    m = make_wave_tank(6, 2, 3)
+    for p in (2, 4):
+        sp = H1Space(m, p)
+        op = LaplacePA(sp)
+        surf = SurfaceSpace(sp, attr=2)
+        zd = NodalZDerivative(op)
+        assert zd.enable_top_trace(surf.surf_to_vol)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(sp.n_dofs))
+        full = np.asarray(zd(x))[surf.surf_to_vol]
+        fast = np.asarray(zd.top_trace(x))
+        assert np.allclose(fast, full, atol=1e-12), np.max(np.abs(fast - full))
+
+    # non-surface essential set must refuse the fast path
+    zd2 = NodalZDerivative(LaplacePA(H1Space(m, 2)))
+    assert not zd2.enable_top_trace(np.arange(4))
+
+
+def test_top_trace_cylinder_mesh():
+    """The polar cylinder tank (curved in-plane, straight z-extrusion) also
+    qualifies: the inverse-Jacobian z-column is (0, 0, 2/hz) elementwise."""
+    from lpfem.cylmesh import make_half_cylinder_tank
+    from lpfem.space import SurfaceSpace
+
+    m = make_half_cylinder_tank(Lx=4.0, Ly=2.0, cx=2.0, nz=2, n_theta=8,
+                                n_r=4, a=0.5)
+    sp = H1Space(m, 3)
+    op = LaplacePA(sp)
+    surf = SurfaceSpace(sp, attr=2)
+    zd = NodalZDerivative(op)
+    if not zd.enable_top_trace(surf.surf_to_vol):
+        import pytest
+        pytest.skip("cylinder tank did not take the lattice/extruded layout")
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(sp.n_dofs))
+    full = np.asarray(zd(x))[surf.surf_to_vol]
+    fast = np.asarray(zd.top_trace(x))
+    assert np.allclose(fast, full, atol=1e-12), np.max(np.abs(fast - full))
