@@ -256,6 +256,138 @@ def _apply_G6_affine(C6: jax.Array, w3: jax.Array, gx: jax.Array,
     return jnp.stack([hx, hy, hz], axis=-2)
 
 
+class SeparableLattice:
+    """Assembled tensor-product (Kronecker) form of the Laplace operator.
+
+    On a tensor-product hex grid whose elements are axis-aligned boxes with
+    spacings that depend only on their own axis index (every generated wave
+    tank, ``Meshes/wave_tank.cpp``), the assembled stiffness factorizes
+    EXACTLY — any quadrature — into
+
+        A  =  Mz (x) My (x) Kx  +  Mz (x) Ky (x) Mx  +  Kz (x) My (x) Mx
+
+    with per-axis assembled 1D stiffness/mass matrices of bandwidth p
+    (``K1 = sum_e D^T W D / h_e``, ``M1 = sum_e B^T W B * h_e`` on [0,1]
+    reference elements). The apply is then seven banded 1D axis
+    contractions over the global dof lattice: ``(p+1)^3 * 3q^3 / (7(2p+1))``
+    ≈ 100x fewer flops than the element-local PA form at p=4, zero
+    E-vector traffic, and — being roll+FMA streaming, not matmul — exact
+    in the working dtype (no TPU MXU bf16 input rounding). This is the
+    TPU-native endpoint of the partial-assembly lineage the reference runs
+    through MFEM (``Solvers/PF_linear_par_partial.cpp:118-124``); curved or
+    sheared lattices fall back to the fused element kernel.
+    """
+
+    def __init__(self, bands, dof_dims, periodic, dtype):
+        self.Dx, self.Dy, self.Dz = dof_dims
+        self.periodic = periodic        # (px, py, pz) — py, pz False
+        self.p = (bands[0].shape[0] - 1) // 2
+        # per-axis band coefficients [2p+1, D_a], diagonal-offset form:
+        # bands[a][p + s, i] = G_a[i, i + s]
+        (self.Kx, self.Mx, self.Ky, self.My, self.Kz, self.Mz) = tuple(
+            jnp.asarray(b, dtype=dtype) for b in bands)
+
+    @classmethod
+    def build(cls, space, q: int, dtype) -> "SeparableLattice | None":
+        """Detect eligibility and assemble the 1D factors (host side);
+        returns None when the mesh does not qualify."""
+        st = space.struct
+        if st is None or st.periodic[1] or st.periodic[2]:
+            return None
+        from .mesh import HEX_VERTS
+        mesh = space.mesh
+        nex, ney, nez = st.elem_dims
+        p = space.p
+        if any(d <= 2 * p and per
+               for d, per in zip(st.dof_dims, st.periodic)):
+            return None              # band offsets would alias mod D
+        cc = np.asarray(mesh.corner_coords).reshape(nez, ney, nex, 8, 3)
+        lo, hi = cc.min(axis=3), cc.max(axis=3)
+        h = hi - lo                                    # [nez, ney, nex, 3]
+        hv = np.asarray(HEX_VERTS, dtype=np.float64)   # [8, 3] in {0, 1}
+        box = lo[..., None, :] + hv * h[..., None, :]
+        scale = np.max(np.abs(cc)) + np.max(h)
+        tol = 1e-12 * scale
+        if np.max(np.abs(cc - box)) > tol:
+            return None              # sheared / curved elements
+        # spacings must be separable: h_x(ex), h_y(ey), h_z(ez)
+        for a, ax in ((0, (0, 1)), (1, (0, 2)), (2, (1, 2))):
+            if np.max(np.ptp(h[..., a], axis=ax)) > tol:
+                return None
+        hx, hy, hz = h[0, 0, :, 0], h[0, :, 0, 1], h[:, 0, 0, 2]
+
+        b = basis_1d(p, q)
+        W = b.qwts
+        Khat = (b.D * W[:, None]).T @ b.D              # [p1, p1] on [0, 1]
+        Mhat = (b.B * W[:, None]).T @ b.B
+
+        def bands_1d(hs, per, stiff):
+            ne = len(hs)
+            D = ne * p + (0 if per else 1)
+            G = np.zeros((D, D))
+            for e, he in enumerate(hs):
+                loc = Khat / he if stiff else Mhat * he
+                idx = (e * p + np.arange(p + 1)) % D
+                G[np.ix_(idx, idx)] += loc
+            out = np.zeros((2 * p + 1, D))
+            i = np.arange(D)
+            for s in range(-p, p + 1):
+                if per:
+                    out[p + s] = G[i, (i + s) % D]
+                else:
+                    j = i + s
+                    ok = (j >= 0) & (j < D)
+                    out[p + s, ok] = G[i[ok], j[ok]]
+            return out
+
+        px = bool(st.periodic[0])
+        bands = (bands_1d(hx, px, True), bands_1d(hx, px, False),
+                 bands_1d(hy, False, True), bands_1d(hy, False, False),
+                 bands_1d(hz, False, True), bands_1d(hz, False, False))
+        return cls(bands, st.dof_dims, tuple(bool(x) for x in st.periodic),
+                   dtype)
+
+    def _axis(self, u, c, axis: int):
+        """Banded 1D contraction along ``axis``: y_i = sum_s c[p+s, i] *
+        u_{i+s} (zero / wraparound beyond the ends)."""
+        p = self.p
+        D = u.shape[axis]
+        shape = [1, 1, 1]
+        shape[axis] = D
+        if self.periodic[2 - axis]:
+            terms = [c[p + s].reshape(shape) * jnp.roll(u, -s, axis)
+                     for s in range(-p, p + 1)]
+        else:
+            pad = [(0, 0)] * 3
+            pad[axis] = (p, p)
+            up = jnp.pad(u, pad)
+            terms = [c[k].reshape(shape)
+                     * jax.lax.slice_in_dim(up, k, k + D, axis=axis)
+                     for k in range(2 * p + 1)]
+        return sum(terms)
+
+    def apply3(self, u: jax.Array) -> jax.Array:
+        """A u on the [Dz, Dy, Dx] lattice view."""
+        t1 = self._axis(u, self.Kx, 2)
+        t2 = self._axis(u, self.Mx, 2)
+        a = self._axis(t1, self.My, 1) + self._axis(t2, self.Ky, 1)
+        bb = self._axis(t2, self.My, 1)
+        return self._axis(a, self.Mz, 0) + self._axis(bb, self.Kz, 0)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        u = x.reshape(self.Dz, self.Dy, self.Dx)
+        return self.apply3(u).reshape(-1)
+
+    def constrained_apply_top(self, x: jax.Array) -> jax.Array:
+        """Apply with identity rows/cols on the top z-plane (the free
+        surface essential set — same contract as the fused kernel's
+        ``ess_top`` mode)."""
+        u = x.reshape(self.Dz, self.Dy, self.Dx)
+        u0 = u.at[-1].set(0.0)
+        y = self.apply3(u0).at[-1].set(u[-1])
+        return y.reshape(-1)
+
+
 def _matmul_precision(name: str | None):
     """Map a precision name to ``jax.lax.Precision`` (None = backend default).
 
@@ -326,6 +458,14 @@ class LaplacePA:
             self.C6 = jnp.asarray(C[:, 0, :], dtype=dtype)
             self.w3 = jnp.asarray(w3, dtype=dtype)
 
+        # assembled tensor-product (Kronecker) fast path: exact factorized
+        # apply on axis-aligned tensor grids — preferred over both the
+        # element-local einsum paths and the fused Pallas kernel wherever
+        # the mesh qualifies (explicit modes like "sumfact" keep their
+        # element-local semantics for tests/diagnostics)
+        self.sep = (SeparableLattice.build(space, q, dtype)
+                    if mode in ("fused", "pallas") else None)
+
         if mode == "pallas":
             try:
                 on_tpu = jax.devices()[0].platform == "tpu"
@@ -347,6 +487,7 @@ class LaplacePA:
         structured lattice, p >= 2, non-periodic z. ``force`` enables it
         regardless of mode/backend (used by tests in interpret mode)."""
         self.C6r = None
+        self.sepk = None
         self._ess_top = False
         self._fused_interpret = force
         st = self.space.struct
@@ -366,12 +507,35 @@ class LaplacePA:
             np.asarray(self.w3, dtype=np.float32).reshape(-1, 1))
         self._lat_dims = (nex, ney, nez)
         self._lat_periodic = (bool(st.periodic[0]), bool(st.periodic[1]))
+        # banded Kronecker kernel: preferred over the element kernel when
+        # the grid is separable (periodic x needs unpadded lanes — i.e. a
+        # 128-multiple Dx on hardware, true for every generated tank at
+        # the bench scales; interpret mode has no lane-padding constraint)
+        if self.sep is not None and (not st.periodic[0]
+                                     or aligned_lanes(Dx) == Dx or force):
+            from .kernels.sep_apply import build_sep_tables
+            Dxp = Dx if st.periodic[0] else aligned_lanes(Dx)
+            cx, cy, zfac, Kh, Mh = build_sep_tables(
+                self.sep, basis_1d(p, self.q), Dxp)
+            self.sep_cx = jnp.asarray(cx)
+            self.sep_cy = jnp.asarray(cy)
+            self.sep_zfac = jnp.asarray(zfac)
+            self.sepk = (tuple(map(tuple, Kh.tolist())),
+                         tuple(map(tuple, Mh.tolist())))
+
+    def _sep_kernel_apply(self, x: jax.Array, ess_top: bool) -> jax.Array:
+        from .kernels.sep_apply import lattice_sep_apply
+        return lattice_sep_apply(
+            x.astype(jnp.float32), self.sep_cx, self.sep_cy, self.sep_zfac,
+            p=self.p, dims=self._lat_dims, periodic=self._lat_periodic,
+            ess_top=ess_top, Khat=self.sepk[0], Mhat=self.sepk[1],
+            interpret=self._fused_interpret).astype(self.dtype)
 
     def register_params(self, bp) -> None:
         """Register large device buffers as jit arguments (see
         :mod:`lpfem.params`; avoids embedding them as HLO constants)."""
         bp.register(self, "G", "elem_dofs", "G6q", "C6", "C6r", "wdetJ",
-                    "xq", "diag")
+                    "xq", "diag", "sep_cx", "sep_cy", "sep_zfac")
         if self.column is not None:
             bp.register(self.column, "ed2d")
 
@@ -440,6 +604,14 @@ class LaplacePA:
 
     def apply(self, x: jax.Array) -> jax.Array:
         """y = A x on global dofs."""
+        if self.sepk is not None:
+            return self._sep_kernel_apply(x, ess_top=False)
+        if self.sep is not None and self.C6r is None:
+            # XLA-level Kronecker apply: wins on CPU/f64 (~2x over the
+            # element-local einsums); on TPU the fused kernel still beats
+            # XLA's lowering of the banded rolls (measured 6.3 vs 8.5 ms at
+            # 17M dofs), so the Pallas kernels keep priority there
+            return self.sep.apply(x)
         if self.C6r is not None:
             from .kernels.lattice_apply import lattice_affine_apply
             Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)
@@ -482,7 +654,7 @@ class LaplacePA:
         runs as ONE fused kernel call with zero extra masking passes; the
         caller promises to always pass the same essential set."""
         st = self.space.struct
-        if self.C6r is None or st is None:
+        if (self.C6r is None and self.sep is None) or st is None:
             return False
         Dx, Dy, Dz = st.dof_dims
         top = Dx * Dy * (Dz - 1) + np.arange(Dx * Dy)
@@ -499,6 +671,10 @@ class LaplacePA:
     def constrained_apply(self, x: jax.Array, ess: jax.Array) -> jax.Array:
         """Apply with identity rows/cols on essential dofs (the operator
         ``FormLinearSystem`` produces)."""
+        if self._ess_top and self.sepk is not None:
+            return self._sep_kernel_apply(x, ess_top=True)
+        if self._ess_top and self.sep is not None and self.C6r is None:
+            return self.sep.constrained_apply_top(x)
         if self._ess_top:
             from .kernels.lattice_apply import lattice_affine_apply
             Jr2 = self.Jr.reshape(3 * self.q ** 3, -1)

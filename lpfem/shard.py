@@ -645,9 +645,27 @@ class ShardedLevel(ShardedExchange):
                        "periodic": (w["periodic"][0], False),
                        "precision": op.precision,
                        "interpret": op._fused_interpret}
+        if getattr(op, "sepk", None) is not None:
+            # banded Kronecker kernel per z-slab: x/y bands are global
+            # (slabs cut z only), z scale factors sliced per device with
+            # zero rows on the padded layers
+            zf = np.asarray(op.sep_zfac)
+            zslab = np.zeros((ndev, nez_loc, 2), np.float32)
+            for d in range(ndev):
+                s, nl = int(w["ez0"][d]), int(w["nlay"][d])
+                zslab[d, :nl] = zf[s:s + nl]
+            cx = np.asarray(op.sep_cx)
+            cy = np.asarray(op.sep_cy)
+            self.tables["sep_zfac"] = self._put(zslab)
+            self.tables["sep_cx"] = self._put(
+                np.broadcast_to(cx, (ndev,) + cx.shape).copy())
+            self.tables["sep_cy"] = self._put(
+                np.broadcast_to(cy, (ndev,) + cy.shape).copy())
+            self._fused["sepk"] = op.sepk
 
     def _fused_apply(self, tb, x_own, constrained: bool):
         from .kernels.lattice_apply import lattice_affine_apply
+        from .kernels.sep_apply import lattice_sep_apply
         f = self._fused
         w = self.pt.win
         p0 = self._halo_plane(tb, x_own)
@@ -655,12 +673,20 @@ class ShardedLevel(ShardedExchange):
                 else jnp.asarray(-1, dtype=jnp.int32))
         scal = jnp.stack([jnp.asarray(topb, dtype=jnp.int32),
                           tb["ko"][0].astype(jnp.int32)])
-        y, yhalo = lattice_affine_apply(
-            x_own[: self.N_max].astype(jnp.float32), tb["C6k"], self._w3col,
-            self.Jr2.astype(jnp.float32), p=f["p"], dims=f["dims"],
-            periodic=f["periodic"], precision=f["precision"],
-            interpret=f["interpret"],
-            shard_scal=scal, p0=p0.astype(jnp.float32))
+        if f.get("sepk") is not None:
+            y, yhalo = lattice_sep_apply(
+                x_own[: self.N_max].astype(jnp.float32), tb["sep_cx"],
+                tb["sep_cy"], tb["sep_zfac"], p=f["p"], dims=f["dims"],
+                periodic=f["periodic"], Khat=f["sepk"][0],
+                Mhat=f["sepk"][1], interpret=f["interpret"],
+                shard_scal=scal, p0=p0.astype(jnp.float32))
+        else:
+            y, yhalo = lattice_affine_apply(
+                x_own[: self.N_max].astype(jnp.float32), tb["C6k"],
+                self._w3col, self.Jr2.astype(jnp.float32), p=f["p"],
+                dims=f["dims"], periodic=f["periodic"],
+                precision=f["precision"], interpret=f["interpret"],
+                shard_scal=scal, p0=p0.astype(jnp.float32))
         dtype = x_own.dtype
         y_own = jnp.concatenate(
             [y, jnp.zeros(1, dtype=jnp.float32)]).astype(dtype)

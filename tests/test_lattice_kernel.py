@@ -30,10 +30,45 @@ def test_fused_lattice_matches_reference(mk, args, p):
     op32 = LaplacePA(sp, dtype=jnp.float32, mode="fused")
     op32._init_fused_lattice(force=True)   # interpret-mode pallas
     assert op32.C6r is not None, "fused lattice kernel did not engage"
+    op32.sepk = None                       # pin the ELEMENT kernel path
     y_k = op32.apply(jnp.asarray(x, dtype=jnp.float32))
     scale = float(jnp.max(jnp.abs(y_ref)))
     dev = float(jnp.max(jnp.abs(y_k.astype(jnp.float64) - y_ref))) / scale
     assert dev < 1e-5, dev
+
+
+@pytest.mark.parametrize("mk,args,p", [
+    (make_wave_tank, (6, 2, 3), 4),          # periodic x (unpadded lanes)
+    (make_wave_tank_finite, (5, 2, 2), 3),   # non-periodic (pad path)
+    (make_wave_tank, (4, 2, 2), 1),          # p=1 (the MG h-levels)
+])
+def test_sep_kernel_matches_reference(mk, args, p):
+    """Banded Kronecker kernel (kernels/sep_apply) == f64 reference,
+    unconstrained and with the fused top-plane Dirichlet constraint."""
+    mesh = mk(*args)
+    sp = H1Space(mesh, p)
+    op64 = LaplacePA(sp, dtype=jnp.float64, mode="fused")
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(sp.n_dofs))
+
+    op32 = LaplacePA(sp, dtype=jnp.float32, mode="fused")
+    op32._init_fused_lattice(force=True)   # interpret-mode pallas
+    assert op32.sepk is not None, "sep kernel did not engage"
+    x32 = jnp.asarray(x, dtype=jnp.float32)
+
+    y_ref = op64.apply(x)
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    dev = float(jnp.max(jnp.abs(op32.apply(x32).astype(jnp.float64)
+                                - y_ref))) / scale
+    assert dev < 1e-5, dev
+
+    from lpfem.space import SurfaceSpace
+    s2v = SurfaceSpace(sp, attr=2).surf_to_vol
+    assert op32.enable_top_plane_ess(s2v)
+    ess64 = jnp.asarray(s2v)
+    yc_ref = op64.apply(x.at[ess64].set(0.0)).at[ess64].set(x[ess64])
+    yc = op32.constrained_apply(x32, jnp.asarray(s2v.astype(np.int32)))
+    devc = float(jnp.max(jnp.abs(yc.astype(jnp.float64) - yc_ref))) / scale
+    assert devc < 1e-5, devc
 
 
 def test_fused_lattice_falls_back_on_curved_mesh():

@@ -186,3 +186,44 @@ def test_top_trace_cylinder_mesh():
     full = np.asarray(zd(x))[surf.surf_to_vol]
     fast = np.asarray(zd.top_trace(x))
     assert np.allclose(fast, full, atol=1e-12), np.max(np.abs(fast - full))
+
+
+def test_separable_kronecker_apply():
+    """SeparableLattice (assembled tensor-product form) == element-local PA
+    on axis-aligned tensor grids, incl. periodic x and graded spacing."""
+    rng = np.random.default_rng(11)
+    for m in (make_cartesian3d(3, 2, 2, 1.0, 0.7, 0.5),
+              make_wave_tank(6, 2, 3)):
+        for p in (1, 2, 4):
+            sp = H1Space(m, p)
+            op = LaplacePA(sp)                    # sep engages (mode=fused)
+            assert op.sep is not None
+            ref = LaplacePA(sp, mode="sumfact")   # element-local reference
+            assert ref.sep is None
+            x = jnp.asarray(rng.standard_normal(sp.n_dofs))
+            ya, yb = np.asarray(op.apply(x)), np.asarray(ref.apply(x))
+            scale = np.max(np.abs(yb))
+            assert np.max(np.abs(ya - yb)) < 1e-11 * scale
+
+
+def test_separable_constrained_and_fallback():
+    from lpfem.cylmesh import make_half_cylinder_tank
+    from lpfem.space import SurfaceSpace
+
+    m = make_wave_tank(6, 2, 3)
+    sp = H1Space(m, 3)
+    op = LaplacePA(sp)
+    surf = SurfaceSpace(sp, attr=2)
+    assert op.enable_top_plane_ess(surf.surf_to_vol)
+    ess = jnp.asarray(surf.surf_to_vol.astype(np.int32))
+    x = jnp.asarray(np.random.default_rng(12).standard_normal(sp.n_dofs))
+    ref = LaplacePA(sp, mode="sumfact")
+    yref = ref.apply(x.at[ess].set(0.0))
+    yref = np.asarray(yref.at[ess].set(x[ess]))
+    ysep = np.asarray(op.constrained_apply(x, ess))
+    assert np.allclose(ysep, yref, atol=1e-11 * np.max(np.abs(yref)))
+
+    # curved lattice (polar block) must fall back to the element kernel
+    mc = make_half_cylinder_tank(Lx=4.0, Ly=2.0, cx=2.0, nz=2, n_theta=8,
+                                 n_r=4, a=0.5)
+    assert LaplacePA(H1Space(mc, 2)).sep is None

@@ -66,16 +66,20 @@ def test_lattice_window_layout_partition():
     assert pt.win["ez0"][0] == 0 and pt.win["nlay"][0] == max(pt.win["nlay"])
 
 
-@pytest.mark.parametrize("ndev,mesh_kind", [(4, "periodic_tank"),
-                                            (3, "periodic_tank"),
-                                            (4, "finite_tank")])
-def test_sharded_fused_kernel_matches_reference(ndev, mesh_kind):
-    """The per-shard fused lattice Pallas kernel (interpret mode) through the
+@pytest.mark.parametrize("ndev,mesh_kind,sepk", [(4, "periodic_tank", False),
+                                                 (3, "periodic_tank", False),
+                                                 (4, "finite_tank", False),
+                                                 (4, "periodic_tank", True),
+                                                 (3, "periodic_tank", True),
+                                                 (4, "finite_tank", True)])
+def test_sharded_fused_kernel_matches_reference(ndev, mesh_kind, sepk):
+    """The per-shard fused Pallas kernels (interpret mode) through the
     full sharded exchange vs the f64 reference operator — both the plain and
-    the in-kernel-constrained apply. ndev=3 exercises padded slabs (the
-    Dirichlet identity row riding the z-carry across zero-metric pad blocks).
-    Matches the reference running its fastest assembly mode under MPI
-    (Solvers/PF_linear_par_partial.cpp:118-124)."""
+    the in-kernel-constrained apply, for the element kernel (sepk=False) and
+    the banded Kronecker kernel (sepk=True). ndev=3 exercises padded slabs
+    (the Dirichlet identity row riding the z-carry across zero-metric pad
+    blocks). Matches the reference running its fastest assembly mode under
+    MPI (Solvers/PF_linear_par_partial.cpp:118-124)."""
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from lpfem.operators import LaplacePA
@@ -94,10 +98,15 @@ def test_sharded_fused_kernel_matches_reference(ndev, mesh_kind):
     op32 = LaplacePA(sp, dtype=jnp.float32, mode="fused")
     op32._init_fused_lattice(force=True)     # interpret-mode pallas
     assert op32.C6r is not None
+    if sepk:
+        assert op32.sepk is not None
+    else:
+        op32.sepk = None                     # pin the element kernel
     pt = Partition(sp, ndev)
     assert pt.win is not None
     lv = ShardedLevel(op32, pt, ess)
     assert lv._fused is not None and lv._ess_top
+    assert (lv._fused.get("sepk") is not None) == sepk
 
     mesh = make_device_mesh(ndev)
     x_st = jnp.asarray(pt.stack_dof(x).astype(np.float32))
