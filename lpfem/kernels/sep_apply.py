@@ -272,12 +272,19 @@ def lattice_sep_apply(x: jax.Array, cx: jax.Array, cy: jax.Array,
         out_shape.append(jax.ShapeDtypeStruct((1, Dy, Dxp), jnp.float32))
         args = [shard_scal.astype(jnp.int32)] + args \
             + [p0.astype(jnp.float32)]
+    # live set per grid step ~ 5 windows of p1 planes (xw, t1, t2, a, b)
+    # plus shift temporaries: past the default 16 MB scoped-vmem limit at
+    # the 17M-dof scale (measured 26 MB; v5e has 128 MB physical VMEM)
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=96 * 1024 * 1024,
+        dimension_semantics=("arbitrary",))
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kern, grid=(nez,), in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((1, Dy, Dxp), jnp.float32)],
             cost_estimate=cost, interpret=interpret,
+            compiler_params=cparams,
         )(*args)
     if shard:
         ymain, ytop, yhalo = outs
