@@ -142,11 +142,26 @@ def main():
 
     t1 = _time_program(jit_with_params(single, bp), x,
                        repeats=args.repeats) / iters
-    print(f"single fused apply: {t1 * 1e3:.3f} ms "
+    kind = "sep" if op.sepk is not None else "element"
+    print(f"single fused apply [{kind} kernel]: {t1 * 1e3:.3f} ms "
           f"({n * 4 * 2 / t1 / 1e9:.1f} GB/s eff)")
 
     ndev = len(jax.devices())
     results = {"single_ms": t1 * 1e3}
+    if op.sepk is not None:
+        # element-kernel contrast (the round-2 headline path)
+        sk, op.sepk = op.sepk, None
+
+        def single_elem(x):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, v: op.constrained_apply(v, essj), x)
+
+        t1e = _time_program(jit_with_params(single_elem, bp), x,
+                            repeats=args.repeats) / iters
+        op.sepk = sk
+        print(f"single element-kernel apply: {t1e * 1e3:.3f} ms "
+              f"({t1e / t1:.2f}x sep)")
+        results["single_elem_ms"] = t1e * 1e3
     for layout, label in (("auto", "window"),
                           *(() if args.skip_compact else
                             (("compact", "compact"),))):

@@ -64,13 +64,8 @@ def build_sep_tables(sep, basis, Dxp: int):
     W = basis.qwts
     Khat = ((basis.D * W[:, None]).T @ basis.D).astype(np.float32)
     Mhat = ((basis.B * W[:, None]).T @ basis.B).astype(np.float32)
-    # per-layer z scale: Kz block = Khat / hz, Mz block = Mhat * hz.
-    # Recover hz per layer from the assembled Mz band: the (0, p) corner
-    # entry of each element block is touched by exactly one element.
-    Mz = np.asarray(sep.Mz, np.float64)                  # [2p+1, Dz]
-    nez = (Mz.shape[1] - 1) // p
-    corner = Mhat.astype(np.float64)[0, p]
-    hz = np.array([Mz[2 * p, ez * p] / corner for ez in range(nez)])
+    # per-layer z scale: Kz block = Khat / hz, Mz block = Mhat * hz
+    hz = np.asarray(sep.spacings[2], np.float64)
     zfac = np.stack([1.0 / hz, hz], axis=1).astype(np.float32)
     return cx, cy, zfac, Khat, Mhat
 

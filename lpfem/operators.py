@@ -278,7 +278,7 @@ class SeparableLattice:
     sheared lattices fall back to the fused element kernel.
     """
 
-    def __init__(self, bands, dof_dims, periodic, dtype):
+    def __init__(self, bands, dof_dims, periodic, dtype, spacings=None):
         self.Dx, self.Dy, self.Dz = dof_dims
         self.periodic = periodic        # (px, py, pz) — py, pz False
         self.p = (bands[0].shape[0] - 1) // 2
@@ -286,6 +286,9 @@ class SeparableLattice:
         # bands[a][p + s, i] = G_a[i, i + s]
         (self.Kx, self.Mx, self.Ky, self.My, self.Kz, self.Mz) = tuple(
             jnp.asarray(b, dtype=dtype) for b in bands)
+        # per-axis element spacings (hx, hy, hz) — host NumPy, kept for the
+        # Pallas kernel's per-layer z factors
+        self.spacings = spacings
 
     @classmethod
     def build(cls, space, q: int, dtype) -> "SeparableLattice | None":
@@ -345,7 +348,7 @@ class SeparableLattice:
                  bands_1d(hy, False, True), bands_1d(hy, False, False),
                  bands_1d(hz, False, True), bands_1d(hz, False, False))
         return cls(bands, st.dof_dims, tuple(bool(x) for x in st.periodic),
-                   dtype)
+                   dtype, spacings=(hx, hy, hz))
 
     def _axis(self, u, c, axis: int):
         """Banded 1D contraction along ``axis``: y_i = sum_s c[p+s, i] *
