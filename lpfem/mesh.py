@@ -240,11 +240,20 @@ def _lookup_rows(table: np.ndarray, queries: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------ builders
 
-def make_cartesian3d(nx: int, ny: int, nz: int, Lx: float, Ly: float, Lz: float) -> Mesh:
-    """Cartesian hex box, MFEM ``Mesh::MakeCartesian3D`` equivalent."""
-    xs = np.linspace(0, Lx, nx + 1)
-    ys = np.linspace(0, Ly, ny + 1)
-    zs = np.linspace(0, Lz, nz + 1)
+def make_cartesian3d(nx: int, ny: int, nz: int, Lx: float, Ly: float,
+                     Lz: float, xs=None, ys=None, zs=None) -> Mesh:
+    """Cartesian hex box, MFEM ``Mesh::MakeCartesian3D`` equivalent.
+
+    ``xs``/``ys``/``zs`` optionally override the uniform grid lines with
+    explicit (strictly increasing) coordinates — a graded tensor-product
+    grid, e.g. z-spacing packed toward the free surface. Still a separable
+    lattice: every fast path (Kronecker operator, fused kernels, top-plane
+    trace) applies.
+    """
+    xs = np.linspace(0, Lx, nx + 1) if xs is None else np.asarray(xs, float)
+    ys = np.linspace(0, Ly, ny + 1) if ys is None else np.asarray(ys, float)
+    zs = np.linspace(0, Lz, nz + 1) if zs is None else np.asarray(zs, float)
+    assert len(xs) == nx + 1 and len(ys) == ny + 1 and len(zs) == nz + 1
     # vertex id = ix + (nx+1)*(iy + (ny+1)*iz)
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     verts = np.stack(

@@ -227,3 +227,35 @@ def test_separable_constrained_and_fallback():
     mc = make_half_cylinder_tank(Lx=4.0, Ly=2.0, cx=2.0, nz=2, n_theta=8,
                                  n_r=4, a=0.5)
     assert LaplacePA(H1Space(mc, 2)).sep is None
+
+
+def test_separable_graded_grid():
+    """Graded (nonuniform per-axis) tensor grids stay separable: Kronecker
+    apply, top-plane trace, and the interpret-mode sep kernel all match the
+    element-local reference."""
+    from lpfem.space import SurfaceSpace
+
+    zs = np.array([0.0, 0.35, 0.6, 0.8, 0.95, 1.0])   # packed to the top
+    xs = np.array([0.0, 0.5, 0.8, 1.0])
+    m = make_cartesian3d(3, 2, 5, 1.0, 0.7, 1.0, xs=xs, zs=zs)
+    p = 3
+    sp = H1Space(m, p)
+    op = LaplacePA(sp)
+    assert op.sep is not None
+    ref = LaplacePA(sp, mode="sumfact")
+    x = jnp.asarray(np.random.default_rng(21).standard_normal(sp.n_dofs))
+    ya, yb = np.asarray(op.apply(x)), np.asarray(ref.apply(x))
+    scale = np.max(np.abs(yb))
+    assert np.max(np.abs(ya - yb)) < 1e-11 * scale
+
+    surf = SurfaceSpace(sp, attr=6)     # MakeCartesian3D: attr 6 = z-top
+    zd = NodalZDerivative(op)
+    assert zd.enable_top_trace(surf.surf_to_vol)
+    full = np.asarray(zd(x))[surf.surf_to_vol]
+    assert np.allclose(np.asarray(zd.top_trace(x)), full, atol=1e-12)
+
+    op32 = LaplacePA(sp, dtype=jnp.float32)
+    op32._init_fused_lattice(force=True)
+    assert op32.sepk is not None
+    yk = np.asarray(op32.apply(jnp.asarray(x, dtype=jnp.float32)))
+    assert np.max(np.abs(yk - yb)) < 1e-5 * scale
