@@ -101,10 +101,12 @@ def main() -> None:
     ap.add_argument("--ny", type=int, default=2)
     ap.add_argument("--nz", type=int, default=8)
     ap.add_argument("--precond", default="pmg", choices=["jacobi", "chebyshev", "pmg"])
-    ap.add_argument("--cheb-degree", type=int, default=5,
-                    help="smoother degree for chebyshev/pmg (swept on-chip: "
-                         "deg 5 gives 3-4 CG iters and the best wall across "
-                         "refs=1..2 with the fused-kernel apply)")
+    ap.add_argument("--cheb-degree", type=int, default=4,
+                    help="smoother degree for chebyshev/pmg (swept on-chip "
+                         "with the banded-Kronecker apply: deg 4 gives 4 CG "
+                         "iters and the best wall at the refs=2 protocol "
+                         "scale — 191M dof*solves/s; deg 5 was the "
+                         "element-kernel-era default)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timing repeats; median reported (tunnel variance)")
     ap.add_argument("--scales", default=None,
