@@ -2,15 +2,27 @@
 
 Protocol (``Convergence_and_Scaling/ss.cpp:90-93,254-286`` + ``ss.sh``):
 10 RK4 steps = 40 Laplace solves on the periodic big wave tank, order 4,
-partial assembly + Jacobi-CG (rtol^2 1e-8, maxit 300), warm-up step excluded,
-wall time = max over ranks (here: one fused XLA program, `block_until_ready`).
+partial assembly + CG with ``SetRelTol(1e-8)`` / maxit 300 — which in MFEM's
+CGSolver semantics is convergence on ``r.z <= rz0 * 1e-16`` (the rel-tol is
+squared; see ``lpfem/solvers.py``). Warm-up step excluded, wall time = max
+over ranks (here: one fused XLA program, ``block_until_ready``).
+
+An f32 solve cannot reach a 1e-16 relative floor, so the faithful run is
+``dtype=mixed`` (f64 state + true residuals, exact-f32 inner operator) — the
+default. The f32 @ rtol_sq 1e-8 configuration benched in earlier rounds is
+reported as a clearly-labeled secondary metric in ``detail``.
 
 Metric: DOF x Laplace-solves per second. The reference publishes no numbers
 (BASELINE.md), so ``vs_baseline`` compares against the previous round's
 recorded value when available (``BENCH_r*.json``), else 1.0.
 
+Robustness: a previous process SIGKILLed mid-program can wedge the TPU for
+the next one (CLAUDE.md gotcha; lost the round-3 capture) — on an
+UNAVAILABLE/backend-init failure the script re-execs itself once after a
+pause. Test hook: ``LPFEM_BENCH_FAIL_ONCE=1`` injects one such failure.
+
 Usage:
-  python bench.py [--order 4] [--refs 1] [--steps 10] [--dtype float32]
+  python bench.py [--order 4] [--refs 2] [--dtype mixed] [--rtol-sq 1e-16]
   python bench.py --scales 1,2,3     # protocol table -> data/bench-scales.txt
 """
 
@@ -24,8 +36,11 @@ import statistics
 import sys
 import time
 
+_RETRY_MARKER = "LPFEM_BENCH_RETRY"
 
-def bench_once(args, refs: int) -> dict:
+
+def bench_once(args, refs: int, dtype: str | None = None,
+               rtol_sq: float | None = None) -> dict:
     """One protocol measurement at ``refs`` refinements. Returns wall, CG
     iteration count of the cold solve, and the chained apply time."""
     import jax
@@ -34,10 +49,12 @@ def bench_once(args, refs: int) -> dict:
     from lpfem.params import jit_with_params
     from lpfem.problem import Problem
 
+    dtype = dtype or args.dtype
+    rtol_sq = rtol_sq if rtol_sq is not None else args.rtol_sq
     cfg = preset("scaling_base", order=args.order, ref_levels=refs,
                  nx=args.nx, ny=args.ny, nz=args.nz, precond=args.precond,
                  cheb_degree=args.cheb_degree,
-                 dtype=args.dtype, cg_rtol_sq=1e-8, cg_max_iter=300)
+                 dtype=dtype, cg_rtol_sq=rtol_sq, cg_max_iter=300)
     prob = Problem(cfg)
     n_dofs = prob.space.n_dofs
     ns = prob.surf.n_dofs
@@ -60,7 +77,8 @@ def bench_once(args, refs: int) -> dict:
     n_solves = 4 * args.steps
 
     # CG iterations of a cold solve (zero warm start) at the protocol
-    # tolerance — the per-solve iteration count ss.cpp reports
+    # tolerance — the per-solve iteration count ss.cpp reports (for
+    # dtype=mixed this is the TOTAL inner f32 iteration count of pcg_ir)
     solve = jit_with_params(
         lambda y_, p_: prob.fso.solve_laplace(y_[ns:], p_), prob.params)
     _, iters = solve(y0, phi0)
@@ -73,7 +91,7 @@ def bench_once(args, refs: int) -> dict:
         lambda x: jax.lax.fori_loop(
             0, n_ap, lambda i, v: prob.op.constrained_apply(v, ess), x),
         prob.params)
-    x = jnp.asarray(phi0)
+    x = jnp.asarray(phi0, dtype=prob.op.dtype)
     jax.block_until_ready(ap(x))
     ap_walls = []
     for _ in range(3):
@@ -84,7 +102,8 @@ def bench_once(args, refs: int) -> dict:
 
     return dict(refs=refs, n_dofs=int(n_dofs), wall_s=dt_wall,
                 value=n_dofs * n_solves / dt_wall, n_solves=n_solves,
-                cg_iters=iters, apply_ms=apply_ms,
+                cg_iters=iters, apply_ms=apply_ms, dtype=dtype,
+                rtol_sq=rtol_sq,
                 walls=[round(w, 4) for w in walls])
 
 
@@ -93,27 +112,35 @@ def main() -> None:
     ap.add_argument("--order", type=int, default=4)
     ap.add_argument("--refs", type=int, default=2,
                     help="2 = 2.18M dofs, the ss.cpp big-tank + 1 parallel "
-                         "refinement protocol scale (refs=1 was the round-1/2 "
-                         "default; throughput is per dof*solve, comparable)")
+                         "refinement protocol scale")
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--dtype", default="mixed",
+                    help="mixed (faithful: f64 residuals + exact-f32 inner "
+                         "operator, reaches the rz0*1e-16 floor) | float32 "
+                         "| float64")
+    ap.add_argument("--rtol-sq", type=float, default=1e-16,
+                    help="CG convergence threshold on r.z relative to rz0 "
+                         "(MFEM SetRelTol(t) == t^2 here; ss.cpp's "
+                         "SetRelTol(1e-8) -> 1e-16)")
     ap.add_argument("--nx", type=int, default=32)
     ap.add_argument("--ny", type=int, default=2)
     ap.add_argument("--nz", type=int, default=8)
     ap.add_argument("--precond", default="pmg", choices=["jacobi", "chebyshev", "pmg"])
     ap.add_argument("--cheb-degree", type=int, default=4,
-                    help="smoother degree for chebyshev/pmg (swept on-chip "
-                         "with the banded-Kronecker apply: deg 4 gives 4 CG "
-                         "iters and the best wall at the refs=2 protocol "
-                         "scale — 191M dof*solves/s; deg 5 was the "
-                         "element-kernel-era default)")
+                    help="smoother degree for chebyshev/pmg")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timing repeats; median reported (tunnel variance)")
+    ap.add_argument("--no-secondary", action="store_true",
+                    help="skip the f32 @ rtol_sq=1e-8 secondary measurement")
     ap.add_argument("--scales", default=None,
                     help="comma list of refs (e.g. 1,2,3): run the protocol "
                          "at each scale and write data/bench-scales.txt "
                          "(the ss.cpp / strongscaling.cpp problem sizes)")
     args = ap.parse_args()
+
+    if os.environ.get("LPFEM_BENCH_FAIL_ONCE") and not os.environ.get(_RETRY_MARKER):
+        raise RuntimeError("UNAVAILABLE: injected test failure "
+                           "(LPFEM_BENCH_FAIL_ONCE)")
 
     import jax
 
@@ -122,25 +149,32 @@ def main() -> None:
         out = "data/bench-scales.txt"
         if os.path.exists(out):
             os.remove(out)
-        df = DataFile(out, "refs dofs wall_s dof_solves_per_s cg_iters "
-                           "apply_ms")
+        df = DataFile(out, "refs dofs dtype rtol_sq wall_s dof_solves_per_s "
+                           "cg_iters apply_ms")
         for refs in [int(s) for s in args.scales.split(",")]:
             r = bench_once(args, refs)
-            df.append(r["refs"], r["n_dofs"], round(r["wall_s"], 4),
-                      round(r["value"], 1), r["cg_iters"],
-                      round(r["apply_ms"], 4))
+            df.append(r["refs"], r["n_dofs"], r["dtype"], r["rtol_sq"],
+                      round(r["wall_s"], 4), round(r["value"], 1),
+                      r["cg_iters"], round(r["apply_ms"], 4))
             print(f"refs={refs} dofs={r['n_dofs']} wall={r['wall_s']:.3f}s "
                   f"-> {r['value'] / 1e6:.1f}M dof*solves/s "
                   f"iters={r['cg_iters']} apply={r['apply_ms']:.3f}ms")
         return
 
     r = bench_once(args, args.refs)
+    sec = None
+    if not args.no_secondary:
+        s = bench_once(args, args.refs, dtype="float32", rtol_sq=1e-8)
+        sec = {"value": round(s["value"], 1), "wall_s": round(s["wall_s"], 4),
+               "cg_iters": s["cg_iters"], "dtype": "float32",
+               "rtol_sq": 1e-8,
+               "note": "non-faithful softened protocol (rounds 1-3 headline)"}
     prev = None
     for f in sorted(glob.glob("BENCH_r*.json")):
         try:
             rec = json.load(open(f))
             rec = rec.get("parsed", rec)   # driver wraps the bench line
-            if rec.get("metric") == "laplace_dof_throughput":
+            if rec and rec.get("metric") == "laplace_dof_throughput":
                 prev = rec.get("value")
         except Exception:
             pass
@@ -152,17 +186,41 @@ def main() -> None:
         "unit": "dof*solves/s",
         "vs_baseline": round(vs, 4),
         "detail": {
+            "protocol": "ss.cpp faithful: SetRelTol(1e-8) -> r.z<=rz0*1e-16"
+                        if (args.rtol_sq == 1e-16 and args.dtype == "mixed")
+                        else f"dtype={args.dtype} rtol_sq={args.rtol_sq}",
             "n_dofs": r["n_dofs"], "order": args.order, "refs": args.refs,
             "steps": args.steps, "laplace_solves": r["n_solves"],
-            "wall_s": round(r["wall_s"], 4), "dtype": args.dtype,
+            "wall_s": round(r["wall_s"], 4), "dtype": r["dtype"],
+            "rtol_sq": r["rtol_sq"],
             "precond": args.precond,
             "cg_iters": r["cg_iters"],
             "apply_ms": round(r["apply_ms"], 4),
             "walls": r["walls"],
+            "secondary_f32": sec,
             "backend": jax.devices()[0].platform,
         },
     }))
 
 
+def _is_transient(exc: BaseException) -> bool:
+    msg = f"{type(exc).__name__}: {exc}"
+    return ("UNAVAILABLE" in msg or "backend" in msg.lower()
+            or "DEADLINE_EXCEEDED" in msg)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:       # noqa: BLE001 — retry gate below
+        if _is_transient(e) and not os.environ.get(_RETRY_MARKER):
+            pause = float(os.environ.get("LPFEM_BENCH_RETRY_SLEEP", "30"))
+            print(f"[bench] transient backend failure, re-exec in {pause:g}s:"
+                  f" {str(e).splitlines()[0] if str(e) else type(e).__name__}",
+                  file=sys.stderr)
+            sys.stderr.flush()
+            time.sleep(pause)
+            env = dict(os.environ)
+            env[_RETRY_MARKER] = "1"
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        raise

@@ -36,7 +36,19 @@ def main():
     ap.add_argument("--par-ref", type=int, default=0,
                     help="extra refinements (strong mode)")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--rtol-sq", type=float, default=1e-16,
+                    help="CG threshold on r.z relative to rz0. MFEM "
+                         "SetRelTol(t) == t^2 here: ss.cpp/ws.cpp use "
+                         "SetRelTol(1e-8) -> 1e-16 (the default); "
+                         "strongscaling.cpp's 150-step long run uses "
+                         "SetRelTol(1e-12) -> 1e-24 (pass --rtol-sq 1e-24 "
+                         "--steps 150 --par-ref 2)")
+    ap.add_argument("--max-iter", type=int, default=300,
+                    help="CG maxit (ss.cpp 300; strongscaling.cpp 2000)")
+    ap.add_argument("--dtype", default="mixed",
+                    help="mixed reaches the 1e-16/1e-24 floors; float32 "
+                         "cannot (rounds 1-3 ran a softened f32/1e-8 "
+                         "protocol)")
     ap.add_argument("--precond", default="jacobi",
                     choices=["jacobi", "chebyshev", "pmg"],
                     help="ss.cpp uses partial assembly + Jacobi; pmg keeps "
@@ -65,7 +77,8 @@ def main():
     note = ("virtual-device runs share one host CPU: they validate the SPMD "
             "protocol and shard-count-invariant physics, not hardware "
             "speedup; the comm columns model the expected real-slice cost")
-    df = DataFile(out, "mode order par_ref shards dofs precond median_wall_s "
+    df = DataFile(out, "mode order par_ref shards dofs dtype rtol_sq precond "
+                       "median_wall_s "
                        "exchange NS halo_B_per_apply est_ici_us_per_apply "
                        "runs...  [" + (note if args.virtual_devices else "real devices") + "]")
 
@@ -85,7 +98,7 @@ def main():
             cfg = preset("scaling_base", order=order, nx=nx, ny=ny, nz=nz,
                          ref_levels=par_ref, dtype=args.dtype,
                          precond=args.precond,
-                         cg_rtol_sq=1e-8, cg_max_iter=300)
+                         cg_rtol_sq=args.rtol_sq, cg_max_iter=args.max_iter)
             prob = Problem(cfg, build_precond=False)
             sprob = ShardedProblem(prob, mesh=make_device_mesh(ns))
             y0, phi0 = prob.initial_state()
@@ -104,7 +117,9 @@ def main():
             # one gather + one assemble per apply; ppermute moves each
             # device's O(|S|/shards) boundary segment one hop, psum
             # all-reduces the whole |S|+1 buffer around the ring
-            itemsize = np.dtype(args.dtype).itemsize
+            # halo traffic moves in the inner-operator dtype (f32 for mixed)
+            itemsize = np.dtype("float32" if args.dtype == "mixed"
+                                else args.dtype).itemsize
             NS = sprob.pt.NS
             ex = sprob.fine.exchange
             if ex == "ppermute":
@@ -118,7 +133,7 @@ def main():
                 est_us = 2 * (ring * (NS + 1) * itemsize / ICI_BW
                               + ns * ICI_LAT) * 1e6
             df.append(args.mode, order, par_ref, ns, prob.space.n_dofs,
-                      args.precond, med,
+                      args.dtype, args.rtol_sq, args.precond, med,
                       ex, NS, halo_bytes, round(est_us, 2),
                       *[round(w, 4) for w in walls])
             print(f"{args.mode} order={order} shards={ns} dofs={prob.space.n_dofs} "

@@ -73,10 +73,8 @@ def _kernel(*refs, p: int, Q: int, nex: int, ney: int, cb: int,
     # MXU product precision: None = backend default (bf16 inputs on TPU —
     # right for the bandwidth-bound solve path), 'high'/'highest' = 3/6-pass
     # f32 schemes for accuracy-critical uses (mixed-precision inner applies)
-    prec = (None if precision in (None, "default")
-            else {"high": jax.lax.Precision.HIGH,
-                  "float32": jax.lax.Precision.HIGH,
-                  "highest": jax.lax.Precision.HIGHEST}[precision])
+    from ..operators import _matmul_precision
+    prec = _matmul_precision(precision)
     if shard:
         # shard mode (one z-slab of the global lattice per device; see
         # lpfem.shard): scal = [topb, own0] — topb is the local block index

@@ -253,7 +253,13 @@ def make_cartesian3d(nx: int, ny: int, nz: int, Lx: float, Ly: float,
     xs = np.linspace(0, Lx, nx + 1) if xs is None else np.asarray(xs, float)
     ys = np.linspace(0, Ly, ny + 1) if ys is None else np.asarray(ys, float)
     zs = np.linspace(0, Lz, nz + 1) if zs is None else np.asarray(zs, float)
-    assert len(xs) == nx + 1 and len(ys) == ny + 1 and len(zs) == nz + 1
+    for name, g, ne in (("xs", xs, nx), ("ys", ys, ny), ("zs", zs, nz)):
+        if len(g) != ne + 1:
+            raise ValueError(f"{name}: expected {ne + 1} grid lines, "
+                             f"got {len(g)}")
+        if np.any(np.diff(g) <= 0):
+            raise ValueError(f"{name} must be strictly increasing "
+                             "(inverted elements otherwise)")
     # vertex id = ix + (nx+1)*(iy + (ny+1)*iz)
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     verts = np.stack(

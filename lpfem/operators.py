@@ -299,6 +299,14 @@ class SeparableLattice:
             return None
         from .mesh import HEX_VERTS
         mesh = space.mesh
+        if mesh.geom_nodes is not None and mesh.geom_order > 1:
+            # isoparametric geometry: the corner lattice can be an
+            # axis-aligned box grid while the interior map is curved
+            # (e.g. SetCurvature after a projector snap) — the Kronecker
+            # factorization only sees corners, so it would silently apply
+            # the wrong operator. The affine C6 guard gates the Pallas
+            # tier but not this XLA tier; refuse outright.
+            return None
         nex, ney, nez = st.elem_dims
         p = space.p
         if any(d <= 2 * p and per
@@ -399,11 +407,12 @@ def _matmul_precision(name: str | None):
     paths, but it caps the accuracy an 'f32' operator can deliver, which is
     exactly what limits mixed-precision iterative refinement at high p (the
     inner correction can only be as good as the inner apply). 'high' runs
-    the 3-pass bfloat16x3 scheme (~f32 products), 'highest' exact f32."""
+    the 3-pass bfloat16x3 scheme (~f32 products), 'highest' exact f32
+    ('float32' is an alias of 'highest', matching JAX's own naming)."""
     if name is None or name == "default":
         return None
     return {"high": jax.lax.Precision.HIGH,
-            "float32": jax.lax.Precision.HIGH,
+            "float32": jax.lax.Precision.HIGHEST,
             "highest": jax.lax.Precision.HIGHEST}[name]
 
 
@@ -786,9 +795,13 @@ class NodalZDerivative:
         # solve itself (same trade as LaplacePA.C6)
         ztol = 1e-6 if np.dtype(op.dtype) == np.float32 else 1e-12
         self.Jz3 = None
+        self.Jinv_z = None
         if np.max(np.abs(Jz - Jz[:, :1, :])) <= ztol * np.max(np.abs(Jz)):
             self.Jz3 = jnp.asarray(Jz[:, 0, :], dtype=op.dtype)   # [ne, 3]
-        self.Jinv_z = jnp.asarray(Jz, dtype=op.dtype)             # [ne, L, 3]
+        else:
+            # only materialized on device when actually needed — at the
+            # 17M-dof scale the full [ne, L, 3] stream is hundreds of MB
+            self.Jinv_z = jnp.asarray(Jz, dtype=op.dtype)         # [ne, L, 3]
         self.inv_mult = jnp.asarray(1.0 / space.node_mult, dtype=op.dtype)
         self._Jz_np = Jz[:, 0, :] if self.Jz3 is not None else None
         self._top = None

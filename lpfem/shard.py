@@ -174,6 +174,13 @@ class Partition:
         sl = (_zslab_layers(np.asarray(part), st.elem_dims, ndev)
               if (st is not None and layout != "compact"
                   and not st.periodic[2]) else None)
+        if sl is not None and sl[1][0] != sl[1].max():
+            # the window layout needs device 0 to carry the largest slab
+            # (its window holds the extra z=0 plane, making N_max its own
+            # count); a user-supplied contiguous z-slab partition with small
+            # slabs first is valid but does not qualify — use the compact
+            # layout rather than asserting
+            sl = None
         if lat_loc is not None:
             # inherited window layout (the h-transfer 'via' space shares the
             # fine level's dof lattice; see ShardedPMG)
@@ -186,9 +193,9 @@ class Partition:
             Dx, Dy, Dz = st.dof_dims
             plane = Dx * Dy
             nez_loc = int(nlay.max())
-            # device 0 must carry the padded layer count: its window holds
-            # the extra z=0 plane, making N_max == its own count
-            assert nlay[0] == nez_loc, "z-slab split must put large slabs first"
+            # device 0 carries the padded layer count (guaranteed by the
+            # eligibility check above): its window holds the extra z=0
+            # plane, making N_max == its own count
             z = np.arange(n) // plane
             rem = np.arange(n) % plane
             loc_of_dof = (z - p * ez0[owner]) * plane + rem

@@ -48,8 +48,12 @@ def test_problem_registers_big_buffers():
                           precond="pmg"))
     names = {a for _, a in prob.params.slots}
     # the dominant buffers are threaded (vector-sized ones like _inv_diag
-    # only cross the size threshold at real scale)
-    assert "G" in names and "Jinv_z" in names, names
+    # only cross the size threshold at real scale); on affine meshes the
+    # z-derivative keeps only the compact [ne,3] metric, so the [ne,L,3]
+    # Jinv_z must NOT exist at all (ADVICE round 3: HBM frugality)
+    assert "G" in names, names
+    assert prob.fso.zderiv.Jinv_z is None
+    assert prob.fso.zderiv.Jz3 is not None
 
 
 def test_pcg_atol_floor():
