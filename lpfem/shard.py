@@ -577,9 +577,10 @@ class ShardedLevel(ShardedExchange):
 
     def __init__(self, op: LaplacePA, pt: Partition,
                  ess_dofs: np.ndarray, axis: str = "shard",
-                 exchange: str = "auto", put=None):
+                 exchange: str = "auto", put=None, ell: bool = False):
         super().__init__(pt, axis, exchange, put)
         self.op = op
+        self._ell = ell
         self.Q = op.q ** 3
         self.Jr2 = op.Jr.reshape(3 * self.Q, -1)
         dtype = op.dtype
@@ -618,7 +619,9 @@ class ShardedLevel(ShardedExchange):
         # layout. This is the sharded form of the reference's fastest
         # assembly mode under MPI (Solvers/PF_linear_par_partial.cpp:118-124).
         self._fused = None
-        if op.C6r is not None and pt.win is not None \
+        if ell:
+            self._init_ell()
+        elif op.C6r is not None and pt.win is not None \
                 and not pt.win["periodic"][1]:
             self._init_fused_shard()
         # in-kernel Dirichlet constraint valid iff ess == the global top
@@ -630,6 +633,50 @@ class ShardedLevel(ShardedExchange):
             top = Dx * Dy * (Dz - 1) + np.arange(Dx * Dy)
             self._ess_top = bool(np.array_equal(
                 np.sort(np.asarray(ess_dofs)), top))
+
+    def _init_ell(self) -> None:
+        """Per-device PARTIAL local assembly in ELL form — the sharded twin
+        of :class:`~lpfem.operators.AssembledLaplace` and of the reference's
+        full-assembly-under-MPI configuration (hypre ParCSR SpMV,
+        ``Solvers/PF_linear_par.cpp:114-120``). Each device assembles ONLY
+        its own elements' matrices over the local dof layout
+        ``[own(N_max), trash, halo(H_max), zero]`` (exactly hypre's
+        diag+offd split); the apply is gather_loc -> local ELL row-sum ->
+        assemble_own, so interface rows are summed across owners by the
+        SAME halo exchange the matrix-free path uses."""
+        op, pt = self.op, self.pt
+        import scipy.sparse as sp_
+        Ae = np.asarray(op.element_matrices())          # [ne, L, L]
+        led = pt.local_elem_dofs                        # [ndev, E_max, L]
+        L = led.shape[2]
+        Nloc = self.N_max + 1 + self.H_max + 1
+        csr_d = []
+        kmax = 1
+        for d in range(pt.ndev):
+            es = pt.elems_of[d]
+            ld = led[d, : len(es)].astype(np.int64)     # [E_d, L]
+            rows = np.repeat(ld, L, axis=1).ravel()
+            cols = np.tile(ld, (1, L)).ravel()
+            A = sp_.coo_matrix((Ae[es].ravel(), (rows, cols)),
+                               shape=(Nloc, Nloc)).tocsr()
+            A.sum_duplicates()
+            csr_d.append(A)
+            kmax = max(kmax, int(np.diff(A.indptr).max()))
+        cols_t = np.full((pt.ndev, Nloc, kmax), Nloc - 1, dtype=np.int32)
+        vals_t = np.zeros((pt.ndev, Nloc, kmax))
+        for d, A in enumerate(csr_d):
+            for i in range(Nloc):
+                s, e = A.indptr[i], A.indptr[i + 1]
+                cols_t[d, i, : e - s] = A.indices[s:e]
+                vals_t[d, i, : e - s] = A.data[s:e]
+        npdt = np.dtype(op.dtype)
+        self.tables["ellc"] = self._put(cols_t)
+        self.tables["ellv"] = self._put(vals_t.astype(npdt))
+
+    def _ell_apply_own(self, tb, x_own):
+        x_loc = self.gather_loc(tb, x_own)              # [Nloc]
+        y_loc = jnp.sum(tb["ellv"] * x_loc[tb["ellc"]], axis=1)
+        return self.assemble_own(tb, y_loc)
 
     def _init_fused_shard(self) -> None:
         op, pt = self.op, self.pt
@@ -705,6 +752,8 @@ class ShardedLevel(ShardedExchange):
 
     def apply_own(self, tb, x_own):
         """A x on owned lanes (no BC)."""
+        if self._ell:
+            return self._ell_apply_own(tb, x_own)
         if self._fused is not None:
             return self._fused_apply(tb, x_own, constrained=False)
         prec = self.op._prec
@@ -1028,10 +1077,10 @@ class ShardedProblem:
         slice. ``lmax_mode='sharded'`` estimates smoother eigenvalues through
         the sharded operator (see :func:`_estimate_lmax_sharded`)."""
         self.prob = prob
-        if getattr(prob, "op_solve", None) is not None:
-            raise NotImplementedError(
-                "apply_mode='assembled' has no sharded path (the sharded "
-                "runner is matrix-free); use pallas/fused")
+        # apply_mode="assembled": drive the CG through a per-device partial
+        # local assembly (ELL SpMV + halo assemble) — the reference's
+        # full-assembly-under-MPI configuration (PF_linear_par.cpp:114-120)
+        ell = getattr(prob, "op_solve", None) is not None
         self.mesh = mesh if mesh is not None else make_device_mesh(n_dev)
         ndev = self.mesh.devices.size
         self.ndev = ndev
@@ -1047,7 +1096,8 @@ class ShardedProblem:
 
         ess_fine = np.asarray(prob.surf.surf_to_vol)
         exchange = getattr(prob.cfg, "shard_exchange", "auto")
-        self.fine = ShardedLevel(op, pt, ess_fine, exchange=exchange, put=put)
+        self.fine = ShardedLevel(op, pt, ess_fine, exchange=exchange, put=put,
+                                 ell=ell)
         # mixed precision (Problem dtype="mixed"): a second f64 level powers
         # the outer residuals of pcg_ir while self.fine (f32) runs the inner
         # CG + preconditioner — the SPMD form of the single-device mixed path

@@ -258,3 +258,54 @@ def test_from_config_decentralized_setup():
     err = np.max(np.abs(np.asarray(y1) - np.asarray(y2)))
     scale = max(float(np.max(np.abs(np.asarray(y1)))), 1e-30)
     assert err < 1e-10 * scale, (err, scale)
+
+
+def test_sharded_assembled_matches_single_device():
+    """apply_mode="assembled" under shards — the reference's PF_linear_par
+    configuration (full assembly + hypre ParCSR SpMV under MPI,
+    Solvers/PF_linear_par.cpp:114-120): each shard assembles only its own
+    elements in ELL form over the local [own|halo] layout and the CG rides
+    gather_loc -> ELL row-sum -> assemble_own. The operator must equal the
+    single-device AssembledLaplace exactly, and the trajectory must be
+    shard-count invariant."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cfg = preset("pf_linear_par", nx=12, order=3, apply_mode="assembled",
+                 precond="jacobi")
+    prob = Problem(cfg)
+    assert prob.op_solve is not None
+
+    # operator-level exactness (unconstrained apply)
+    sp = prob.space
+    ess = np.asarray(prob.surf.surf_to_vol)
+    x = np.random.default_rng(0).standard_normal(sp.n_dofs)
+    y_ref = np.asarray(prob.op_solve.apply(jnp.asarray(x)))
+    dm = make_device_mesh(4)
+    pt = Partition(sp, 4)
+    from lpfem.shard import ShardedLevel
+    lv = ShardedLevel(prob.op, pt, ess, ell=True, put=jnp.asarray)
+    xs = jnp.asarray(pt.stack_dof(x, fill=0.0))
+
+    def f(tb, xo):
+        tb = jax.tree.map(lambda a: a[0], tb)
+        return lv.apply_own(tb, xo[0])[None]
+
+    tabs = dict(lv.tables)
+    fm = shard_map(f, mesh=dm,
+                   in_specs=(jax.tree.map(lambda _: P("shard"), tabs),
+                             P("shard")),
+                   out_specs=P("shard"))
+    y_g = pt.unstack_dof(np.asarray(fm(tabs, xs))[:, : pt.N_max])
+    assert np.max(np.abs(y_g - y_ref)) < 1e-12 * np.max(np.abs(y_ref))
+
+    # trajectory shard-invariance (the mpirun-invariance analogue)
+    (t1, y1, _), _ = prob.run(n_steps=3)
+    sprob = ShardedProblem(prob, mesh=dm)
+    assert sprob.fine._ell
+    t2, y2, _ = sprob.run(n_steps=3)
+    err = float(np.max(np.abs(np.asarray(y1) - np.asarray(y2))))
+    scale = max(float(np.max(np.abs(np.asarray(y1)))), 1e-30)
+    assert err < 1e-10 * scale, (err, scale)
