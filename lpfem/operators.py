@@ -58,13 +58,75 @@ def _geometry_lattice(space: H1Space):
     return mesh.corner_coords[:, _LEX_OF_VERT, :], 1
 
 
+_GEOM_CHUNK = 1 << 16   # elements per host chunk (bounds the [*,Q,3,3] temps)
+
+
+def _jacobian_chunk(cc, B1, D1, q):
+    """Quad-point Jacobians for one element chunk: cc [m, pg1, pg1, pg1, 3]
+    -> (J [m, Q, 3, 3], detJ, Jinv). Raises on inverted geometry."""
+
+    def t3(u, Az, Ay, Ax):
+        return np.einsum("cz,by,ax,ezyxd->ecbad", Az, Ay, Ax, u,
+                         optimize=True)
+
+    dXdx = t3(cc, B1, B1, D1)   # dX/dxi_x at quad pts, [m,q,q,q,3]
+    dXdy = t3(cc, B1, D1, B1)
+    dXdz = t3(cc, D1, B1, B1)
+    J = np.stack([dXdx, dXdy, dXdz], axis=-1)
+    m = J.shape[0]
+    J = J.reshape(m, q ** 3, 3, 3)
+    detJ = np.linalg.det(J)
+    if np.any(detJ <= 0):
+        raise ValueError("non-positive Jacobian determinant in mesh geometry")
+    Jinv = np.linalg.inv(J)     # Jinv[i,j] = dxi_i/dx_j
+    return J, detJ, Jinv
+
+
+def _metric6_chunk(detJ, Jinv):
+    """G/w3 at quad points: the 6 unique components of detJ * Jinv Jinv^T,
+    order (xx, xy, xz, yy, yz, zz) — [m, Q, 6]."""
+    M = np.einsum("eqik,eqjk->eqij", Jinv, Jinv) * detJ[..., None, None]
+    return np.stack([M[..., 0, 0], M[..., 0, 1], M[..., 0, 2],
+                     M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]], axis=-1)
+
+
+def affine_c6(space: H1Space, q: int, dtype) -> np.ndarray | None:
+    """Streaming affine detection + compact metric, WITHOUT materializing
+    the [ne, Q, 6] G: per chunk, test that the quad-point metric is constant
+    across the element (the rank-1 ``G = w3 (x) C6`` factorization the apply
+    paths exploit) and collect C6 [ne, 6]. Returns None when any element is
+    curved/non-affine beyond the dtype-tied tolerance. At the refs=4 bench
+    scale (135M dofs) this replaces ~30 GB of host geometry tables with
+    100 MB of C6."""
+    gnodes, pg = _geometry_lattice(space)
+    bg = basis_1d(pg, q)
+    B1, D1 = bg.B, bg.D
+    pg1 = pg + 1
+    cc = gnodes.reshape(-1, pg1, pg1, pg1, 3)
+    ne = cc.shape[0]
+    C6 = np.empty((ne, 6))
+    gmax = 0.0
+    rmax = 0.0
+    for s in range(0, ne, _GEOM_CHUNK):
+        _, detJ, Jinv = _jacobian_chunk(cc[s:s + _GEOM_CHUNK], B1, D1, q)
+        M6 = _metric6_chunk(detJ, Jinv)
+        C6[s:s + _GEOM_CHUNK] = M6[:, 0, :]
+        gmax = max(gmax, float(np.max(np.abs(M6))))
+        rmax = max(rmax, float(np.max(np.abs(M6 - M6[:, :1, :]))))
+    afftol = 1e-6 if np.dtype(dtype) == np.float32 else 1e-12
+    if rmax > afftol * gmax:
+        return None
+    return C6
+
+
 def geometric_factors(space: H1Space, q: int | None = None, dtype=jnp.float64):
     """Precompute PA geometric data.
 
     Returns (G [ne, Q, 6], wdetJ [ne, Q], xq [ne, Q, 3]) with
     Q = q^3 quadrature points per element flattened C-order over (qz, qy, qx).
     Host NumPy in float64, cast to ``dtype`` on return. Supports curved
-    (isoparametric) geometry via ``mesh.geom_nodes``.
+    (isoparametric) geometry via ``mesh.geom_nodes``. Computed in element
+    chunks so the [*, Q, 3, 3] temporaries never exceed ~1 GB.
     """
     p = space.p
     if q is None:
@@ -77,38 +139,27 @@ def geometric_factors(space: H1Space, q: int | None = None, dtype=jnp.float64):
     B1, D1 = bg.B, bg.D
     pg1 = pg + 1
     cc = gnodes.reshape(-1, pg1, pg1, pg1, 3)   # [ne, z, y, x, 3]
-
-    def t3(u, Az, Ay, Ax):
-        return np.einsum("cz,by,ax,ezyxd->ecbad", Az, Ay, Ax, u, optimize=True)
-
-    dXdx = t3(cc, B1, B1, D1)   # dX/dxi_x at quad pts, [ne,q,q,q,3]
-    dXdy = t3(cc, B1, D1, B1)
-    dXdz = t3(cc, D1, B1, B1)
-    J = np.stack([dXdx, dXdy, dXdz], axis=-1)  # [ne,q,q,q, 3(coord i), 3(ref j)]
-    ne = J.shape[0]
-    J = J.reshape(ne, q ** 3, 3, 3)
-
-    detJ = np.linalg.det(J)
-    if np.any(detJ <= 0):
-        raise ValueError("non-positive Jacobian determinant in mesh geometry")
-    Jinv = np.linalg.inv(J)                     # [ne,Q,3,3]  (Jinv[i,j] = dxi_i/dx_j)
+    ne = cc.shape[0]
+    Q = q ** 3
     w3 = np.einsum("c,b,a->cba", qw, qw, qw).reshape(-1)
-    wdetJ = detJ * w3[None, :]
-    # G = w |J| Jinv Jinv^T  (contract over physical coordinate index).
-    # Stored as the 6 unique symmetric components [ne, Q, 6] in order
-    # (xx, xy, xz, yy, yz, zz): the device apply uses VPU elementwise
-    # multiply-adds instead of batched 3x3 matvecs (which pad 3 -> 128 on
-    # the MXU and dominate the runtime).
-    Gfull = np.einsum("eqik,eqjk,eq->eqij", Jinv, Jinv, wdetJ, optimize=True)
-    G = np.stack([Gfull[..., 0, 0], Gfull[..., 0, 1], Gfull[..., 0, 2],
-                  Gfull[..., 1, 1], Gfull[..., 1, 2], Gfull[..., 2, 2]], axis=-1)
+
+    G = np.empty((ne, Q, 6), dtype=dtype)
+    wdetJ = np.empty((ne, Q), dtype=dtype)
+    for s in range(0, ne, _GEOM_CHUNK):
+        _, detJ, Jinv = _jacobian_chunk(cc[s:s + _GEOM_CHUNK], B1, D1, q)
+        # G = w |J| Jinv Jinv^T  (contract over physical coordinate index).
+        # Stored as the 6 unique symmetric components [ne, Q, 6] in order
+        # (xx, xy, xz, yy, yz, zz): the device apply uses VPU elementwise
+        # multiply-adds instead of batched 3x3 matvecs (which pad 3 -> 128
+        # on the MXU and dominate the runtime).
+        G[s:s + _GEOM_CHUNK] = w3[None, :, None] * _metric6_chunk(detJ, Jinv)
+        wdetJ[s:s + _GEOM_CHUNK] = detJ * w3[None, :]
 
     # physical quad-point coords (for analytic errors)
     B3 = np.einsum("cz,by,ax->cbazyx", B1, B1, B1).reshape(q ** 3, pg1 ** 3)
     xq = np.einsum("qk,ekd->eqd", B3, gnodes)
 
-    return (jnp.asarray(G, dtype=dtype), jnp.asarray(wdetJ, dtype=dtype),
-            jnp.asarray(xq, dtype=dtype))
+    return G, wdetJ, np.asarray(xq, dtype=dtype)
 
 
 def _grad_interp_matrix(p: int, q: int) -> np.ndarray:
@@ -435,8 +486,8 @@ class LaplacePA:
         self.precision = precision
         self._prec = _matmul_precision(precision)
         self.n_dofs = space.n_dofs
-        self.elem_dofs = jnp.asarray(space.elem_dofs.astype(np.int32))
-        self.G, self.wdetJ, self.xq = geometric_factors(space, q, dtype)
+        self._elem_dofs = None     # lazy: only the unstructured gather
+                                   # fallback reads it (1 GB at refs=4)
         b = basis_1d(p, q)
         self.B = jnp.asarray(b.B, dtype=dtype)
         self.D = jnp.asarray(b.D, dtype=dtype)
@@ -454,21 +505,23 @@ class LaplacePA:
         # — 6 floats/element instead of 6*Q. The [ne, Q, 6] stream is the
         # single largest HBM read of the hot apply (~800MB at 17M dofs);
         # dropping it takes the operator from bandwidth-bound on metrics to
-        # bandwidth-bound on the solution vector itself. Detected from the
-        # computed G so curved/isoparametric meshes fall back automatically.
+        # bandwidth-bound on the solution vector itself. Detection streams
+        # the quad-point metric chunk-wise (affine_c6) so curved meshes fall
+        # back automatically and G/wdetJ/xq are never even BUILT for affine
+        # operators — they materialize lazily, host-side, on first error-
+        # metric / full-assembly access (~30 GB of host tables skipped at
+        # the refs=4 / 135M-dof scale).
         self.C6 = None
         self.w3 = None
+        self._geom_ready = False
+        self._G = self._wdetJ = self._xq = None
         w3 = np.einsum("c,b,a->cba", b.qwts, b.qwts, b.qwts).reshape(-1)
-        Gnp = np.asarray(self.G)
-        C = Gnp[:, :1, :] / w3[0]
-        # detection tolerance tied to the operator dtype: an f64 operator
-        # must not silently compact a mesh with genuine sub-1e-6 metric
-        # variation (which would cap its accuracy at the detection tolerance)
-        afftol = 1e-6 if np.dtype(dtype) == np.float32 else 1e-12
-        if (np.max(np.abs(Gnp - w3[None, :, None] * C))
-                <= afftol * np.max(np.abs(Gnp))):
-            self.C6 = jnp.asarray(C[:, 0, :], dtype=dtype)
+        C = affine_c6(space, q, dtype)
+        if C is not None:
+            self.C6 = jnp.asarray(np.asarray(C, dtype=dtype))
             self.w3 = jnp.asarray(w3, dtype=dtype)
+        else:
+            self._materialize_geom(device=True)
 
         # assembled tensor-product (Kronecker) fast path: exact factorized
         # apply on axis-aligned tensor grids — preferred over both the
@@ -492,6 +545,57 @@ class LaplacePA:
             else:
                 self.mode = "fused"
         self._init_fused_lattice()
+
+    # ---- lazy geometry tables (affine operators never build them unless
+    # an error metric / full-assembly export asks) ----
+    def _materialize_geom(self, device: bool = False) -> None:
+        G, wdetJ, xq = geometric_factors(self.space, self.q, self.dtype)
+        if device:
+            # non-affine: the apply streams G every iteration — device
+            G, wdetJ, xq = jnp.asarray(G), jnp.asarray(wdetJ), jnp.asarray(xq)
+        self._G, self._wdetJ, self._xq = G, wdetJ, xq
+        self._geom_ready = True
+
+    @property
+    def elem_dofs(self):
+        if self._elem_dofs is None:
+            self._elem_dofs = jnp.asarray(
+                self.space.elem_dofs.astype(np.int32))
+        return self._elem_dofs
+
+    @elem_dofs.setter
+    def elem_dofs(self, v):
+        self._elem_dofs = v
+
+    @property
+    def G(self):
+        if not self._geom_ready:
+            self._materialize_geom()
+        return self._G
+
+    @G.setter
+    def G(self, v):          # BigParams threads registered attrs via setattr
+        self._G = v
+
+    @property
+    def wdetJ(self):
+        if not self._geom_ready:
+            self._materialize_geom()
+        return self._wdetJ
+
+    @wdetJ.setter
+    def wdetJ(self, v):
+        self._wdetJ = v
+
+    @property
+    def xq(self):
+        if not self._geom_ready:
+            self._materialize_geom()
+        return self._xq
+
+    @xq.setter
+    def xq(self, v):
+        self._xq = v
 
     def _init_fused_lattice(self, force: bool = False) -> None:
         """Enable the fully-fused lattice kernel (kernels/lattice_apply)
@@ -546,8 +650,16 @@ class LaplacePA:
     def register_params(self, bp) -> None:
         """Register large device buffers as jit arguments (see
         :mod:`lpfem.params`; avoids embedding them as HLO constants)."""
-        bp.register(self, "G", "elem_dofs", "G6q", "C6", "C6r", "wdetJ",
-                    "xq", "diag", "sep_cx", "sep_cy", "sep_zfac")
+        bp.register(self, "G6q", "C6", "C6r",
+                    "diag", "sep_cx", "sep_cy", "sep_zfac")
+        if self.lattice is None and self.column is None:
+            # only the unstructured fallback gather/scatter reads it
+            bp.register(self, "elem_dofs")
+        # with the compact affine metric G/wdetJ/xq are lazy HOST tables
+        # (HBM frugality) — don't touch them (that would build them), let
+        # alone thread them as per-call jit arguments
+        if self.C6 is None:
+            bp.register(self, "G", "wdetJ", "xq")
         if self.column is not None:
             bp.register(self.column, "ed2d")
 
@@ -649,6 +761,18 @@ class LaplacePA:
         """Assembled diagonal (MFEM ``OperatorJacobiSmoother`` source,
         ``Solvers/PF_linear_par_partial.cpp:124``)."""
         Jx, Jy, Jz = self.Jr[0], self.Jr[1], self.Jr[2]       # [Q, L]
+        if self.C6 is not None:
+            # rank-1 metric: d_e = C6 @ W6 with the quadrature sums folded
+            # into tiny [6, L] tables — never streams the [ne, Q, 6] G
+            # (host-resident in the affine case)
+            W6 = jnp.stack([
+                jnp.einsum("q,ql,ql->l", self.w3, Jx, Jx),
+                2 * jnp.einsum("q,ql,ql->l", self.w3, Jx, Jy),
+                2 * jnp.einsum("q,ql,ql->l", self.w3, Jx, Jz),
+                jnp.einsum("q,ql,ql->l", self.w3, Jy, Jy),
+                2 * jnp.einsum("q,ql,ql->l", self.w3, Jy, Jz),
+                jnp.einsum("q,ql,ql->l", self.w3, Jz, Jz)])    # [6, L]
+            return self.assemble(self.C6 @ W6)
         G = self.G
         d_e = (jnp.einsum("eq,ql->el", G[..., 0], Jx * Jx)
                + 2 * jnp.einsum("eq,ql->el", G[..., 1], Jx * Jy)
@@ -733,8 +857,16 @@ class LaplacePA:
         """Dense element stiffness matrices [ne, L, L] (full-assembly path,
         MFEM ``BilinearForm::Assemble`` default,
         ``Solvers/PF_linear_par.cpp:117-119``)."""
-        G6 = self.G
         idx = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+        if self.C6 is not None:
+            # rank-1 metric: A_e = sum_ij C6full[e,i,j] * K[i,j] with the
+            # quadrature folded into tiny [3, 3, L, L] tables (G stays host)
+            K = jnp.einsum("q,iqk,jql->ijkl", self.w3, self.Jr, self.Jr)
+            C6f = jnp.stack(
+                [jnp.stack([self.C6[:, idx[i][j]] for j in range(3)],
+                           axis=-1) for i in range(3)], axis=-2)  # [ne,3,3]
+            return jnp.einsum("eij,ijkl->ekl", C6f, K)
+        G6 = self.G
         Gfull = jnp.stack(
             [jnp.stack([G6[..., idx[i][j]] for j in range(3)], axis=-1)
              for i in range(3)], axis=-2)
@@ -802,7 +934,13 @@ class NodalZDerivative:
             # only materialized on device when actually needed — at the
             # 17M-dof scale the full [ne, L, 3] stream is hundreds of MB
             self.Jinv_z = jnp.asarray(Jz, dtype=op.dtype)         # [ne, L, 3]
-        self.inv_mult = jnp.asarray(1.0 / space.node_mult, dtype=op.dtype)
+        # inv_mult stays host-side until needed: armed top-trace runs never
+        # read it on device, and it is [n_dofs] in the zderiv dtype (1 GB of
+        # f64 at refs=4). enable_top_trace materializes it when the fast
+        # path does NOT engage; direct __call__ users fall back on demand.
+        self._inv_mult_np = np.asarray(1.0 / space.node_mult,
+                                       dtype=np.dtype(op.dtype))
+        self.inv_mult = None
         self._Jz_np = Jz[:, 0, :] if self.Jz3 is not None else None
         self._top = None
 
@@ -819,8 +957,15 @@ class NodalZDerivative:
 
         ``ess`` are the volume dof indices of the surface nodes, in surface
         order. Returns True (and arms :meth:`top_trace`) when the geometry
-        and dof layout qualify; False leaves the full path in use.
+        and dof layout qualify; False leaves the full path in use (and
+        materializes the device ``inv_mult`` the full path multiplies by).
         """
+        armed = self._detect_top(ess)
+        if not armed and self.inv_mult is None:
+            self.inv_mult = jnp.asarray(self._inv_mult_np)
+        return armed
+
+    def _detect_top(self, ess: np.ndarray) -> bool:
         sp = self.op.space
         Jz = self._Jz_np
         if Jz is None:
@@ -897,7 +1042,9 @@ class NodalZDerivative:
             ghat = jnp.stack([gx, gy, gz], axis=-1)               # [ne, L, 3]
             w_e = jnp.einsum("eli,eli->el", self.Jinv_z, ghat)
 
-        return op.assemble(w_e) * self.inv_mult
+        im = (self.inv_mult if self.inv_mult is not None
+              else jnp.asarray(self._inv_mult_np))   # on-demand (metrics)
+        return op.assemble(w_e) * im
 
 
 class AssembledLaplace:

@@ -46,14 +46,19 @@ def test_problem_registers_big_buffers():
     from lpfem.problem import Problem
     prob = Problem(preset("pf_linear_periodic", nx=16, nz=8, order=4,
                           precond="pmg"))
+    import numpy as _np
     names = {a for _, a in prob.params.slots}
-    # the dominant buffers are threaded (vector-sized ones like _inv_diag
-    # only cross the size threshold at real scale); on affine meshes the
-    # z-derivative keeps only the compact [ne,3] metric, so the [ne,L,3]
-    # Jinv_z must NOT exist at all (ADVICE round 3: HBM frugality)
-    assert "G" in names, names
+    # HBM frugality on affine meshes: the [ne,Q,6] G stream stays HOST
+    # NumPy (the compact C6 metric drives every device path) so it must be
+    # neither on device nor threaded as a jit argument; likewise the
+    # [ne,L,3] Jinv_z is never materialized (compact Jz3 instead)
+    assert "G" not in names, names
+    assert isinstance(prob.op.G, _np.ndarray)
+    assert prob.op.C6 is not None
     assert prob.fso.zderiv.Jinv_z is None
     assert prob.fso.zderiv.Jz3 is not None
+    # dof-index tables still thread
+    assert "elem_dofs" in names or prob.op.lattice is not None
 
 
 def test_pcg_atol_floor():
