@@ -107,23 +107,36 @@ def surface_cells(surf) -> tuple[np.ndarray, np.ndarray]:
     return pts, conn
 
 
-def write_vtu(path: str, space, fields: dict[str, np.ndarray]) -> None:
+def _write_vtu_any(path: str, pts, conn, cell_type: int, pdata,
+                   binary: bool) -> None:
+    """Native binary-appended write when available (the 17M-dof path —
+    raw fwrite blocks instead of ASCII string formatting), else the
+    pure-Python ASCII writer."""
+    if binary:
+        from . import native
+        if native.write_vtu_binary(path, pts, conn, cell_type, pdata):
+            return
+    with open(path, "w") as f:
+        f.write(_vtu_xml(pts, conn, cell_type, pdata))
+
+
+def write_vtu(path: str, space, fields: dict[str, np.ndarray],
+              binary: bool = True) -> None:
     """High-order volume output: per-element GLL lattice points, p^3 linear
     sub-hexes per element. ``fields`` maps name -> dof vector [n_dofs]."""
     pts, conn = volume_cells(space)
     pdata = {name: np.asarray(v)[space.elem_dofs].reshape(-1)
              for name, v in fields.items()}
-    with open(path, "w") as f:
-        f.write(_vtu_xml(pts, conn, 12, pdata))
+    _write_vtu_any(path, pts, conn, 12, pdata, binary)
 
 
-def write_vtu_surface(path: str, surf, fields: dict[str, np.ndarray]) -> None:
+def write_vtu_surface(path: str, surf, fields: dict[str, np.ndarray],
+                      binary: bool = True) -> None:
     """Surface (quad) output on the free-surface trace space."""
     pts, conn = surface_cells(surf)
     pdata = {name: np.asarray(v)[surf.elem_dofs].reshape(-1)
              for name, v in fields.items()}
-    with open(path, "w") as f:
-        f.write(_vtu_xml(pts, conn, 9, pdata))
+    _write_vtu_any(path, pts, conn, 9, pdata, binary)
 
 
 class ParaViewCollection:

@@ -316,23 +316,26 @@ def make_periodic(mesh: Mesh, translations: list[np.ndarray], tol: float = 1e-8)
     verts = mesh.verts
     nv = len(verts)
     rep = np.arange(nv)
+    key = np.round(verts / tol).astype(np.int64)
     for t in translations:
         t = np.asarray(t, dtype=np.float64)
-        # map each vertex v -> v - t if a vertex exists there
-        shifted = verts - t
-        key = np.round(verts / tol).astype(np.int64)
-        skey = np.round(shifted / tol).astype(np.int64)
-        lut = {tuple(k): i for i, k in enumerate(key)}
-        for i in range(nv):
-            j = lut.get(tuple(skey[i]))
-            if j is not None and j != i:
-                rep[i] = j
-    # path-compress
-    for i in range(nv):
-        r = rep[i]
-        while rep[r] != r:
-            r = rep[r]
-        rep[i] = r
+        # map each vertex v -> v - t if a vertex exists there (vectorized
+        # key join: one np.unique over both key sets — the per-vertex dict
+        # loop was the make_periodic scaling hazard at generated-tank sizes)
+        skey = np.round((verts - t) / tol).astype(np.int64)
+        uniq, inv = np.unique(np.concatenate([key, skey]), axis=0,
+                              return_inverse=True)
+        owner_of = np.full(len(uniq), -1, dtype=np.int64)
+        owner_of[inv[:nv]] = np.arange(nv)
+        j = owner_of[inv[nv:]]
+        hit = (j >= 0) & (j != np.arange(nv))
+        rep[hit] = j[hit]
+    # path-compress (vectorized pointer jumping)
+    while True:
+        rep2 = rep[rep]
+        if np.array_equal(rep2, rep):
+            break
+        rep = rep2
     used = np.unique(rep)
     remap = -np.ones(nv, dtype=np.int64)
     remap[used] = np.arange(len(used))
@@ -342,19 +345,17 @@ def make_periodic(mesh: Mesh, translations: list[np.ndarray], tol: float = 1e-8)
     # face is adjacent to two elements. (MFEM's MakePeriodic leaves coincident
     # duplicates in the boundary list — see the attr-5/attr-3 pair in the
     # committed ``Meshes/wave-tank.mesh``; they are physically inert and we
-    # drop them instead.)
+    # drop them instead.) Vectorized: a boundary quad survives iff its
+    # sorted key appears exactly once among the element faces.
     f_keys = np.sort(new_elems[:, HEX_FACES].reshape(-1, 4), axis=1)
-    uniq_f, counts = np.unique(f_keys, axis=0, return_counts=True)
-    dt = np.dtype([("", f_keys.dtype)] * 4)
-    tab = np.ascontiguousarray(uniq_f).view(dt).ravel()
-    bkeys = np.sort(remap[rep[mesh.bdr_quads]], axis=1) if len(mesh.bdr_quads) else np.zeros((0, 4), dtype=np.int64)
-    keep = []
-    for b in range(len(bkeys)):
-        q = np.ascontiguousarray(bkeys[b:b + 1]).view(dt).ravel()
-        i = np.searchsorted(tab, q[0])
-        if i < len(tab) and tab[i] == q[0] and counts[i] == 1:
-            keep.append(b)
-    bq = remap[rep[mesh.bdr_quads[keep]]] if keep else np.zeros((0, 4), dtype=np.int64)
+    bkeys = (np.sort(remap[rep[mesh.bdr_quads]], axis=1)
+             if len(mesh.bdr_quads) else np.zeros((0, 4), dtype=np.int64))
+    uniq, inv = np.unique(np.concatenate([f_keys, bkeys]), axis=0,
+                          return_inverse=True)
+    cnt = np.bincount(inv[: len(f_keys)], minlength=len(uniq))
+    keep = np.where(cnt[inv[len(f_keys):]] == 1)[0]
+    bq = (remap[rep[mesh.bdr_quads[keep]]] if len(keep)
+          else np.zeros((0, 4), dtype=np.int64))
 
     axes = tuple(sorted({int(np.argmax(np.abs(np.asarray(t, dtype=np.float64))))
                          for t in translations}))
@@ -544,8 +545,16 @@ def load_gmsh(path: str) -> Mesh:
 
     Mirrors the subset MFEM's Gmsh reader needs for
     ``Meshes/mesh_cylinder_half.msh`` (``Solvers/cylinder-diffraction.cpp:225``).
-    Physical surface tags become boundary attributes.
+    Physical surface tags become boundary attributes. Parsed by the native
+    C++ scanner when available (``lpfem/native/vtuio.cpp`` — the reference's
+    equivalent lives in MFEM's C++ Gmsh reader); this Python path is the
+    fallback and the parity reference.
     """
+    from . import native
+    nat = native.parse_gmsh(path)
+    if nat is not None:
+        verts, elems, bq, ba = nat
+        return Mesh(verts, elems, verts[elems], bq, ba, periodic=False)
     with open(path) as f:
         lines = f.read().split("\n")
     i = 0
