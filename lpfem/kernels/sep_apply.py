@@ -70,8 +70,21 @@ def build_sep_tables(sep, basis, Dxp: int):
     return cx, cy, zfac, Khat, Mhat
 
 
+def band_to_dense(band: np.ndarray) -> np.ndarray:
+    """Diagonal-offset banded [2p+1, D] -> dense [D, D]
+    (``M[i, i+s] = band[p+s, i]``) for the MXU y-contraction variant."""
+    twop1, D = band.shape
+    p = (twop1 - 1) // 2
+    M = np.zeros((D, D), band.dtype)
+    for s in range(-p, p + 1):
+        idx = np.arange(max(0, -s), min(D, D - s))
+        M[idx, idx + s] = band[p + s, idx]
+    return M
+
+
 def _kernel(*refs, p: int, Dy: int, Dxp: int, ess_top: bool, shard: bool,
-            Khat, Mhat, interpret: bool):
+            Khat, Mhat, y_mxu: bool, interpret: bool):
+    kyd_ref = myd_ref = None
     if shard:
         # shard mode (one z-slab of the global lattice per device, same
         # contract as lattice_apply's shard mode): scal = [topb, own0] —
@@ -80,10 +93,17 @@ def _kernel(*refs, p: int, Dy: int, Dxp: int, ess_top: bool, shard: bool,
         # device owns its window's plane 0 (else plane 0 is the lower
         # neighbor's halo, injected from p0_ref; its contributions are
         # emitted to yhalo_ref for the neighbor-owner to assemble).
-        (scal_ref, zfac_ref, xa_ref, xb_ref, cx_ref, cy_ref, p0_ref,
-         ymain_ref, ytop_ref, yhalo_ref, zcarry) = refs
+        if y_mxu:
+            (scal_ref, zfac_ref, xa_ref, xb_ref, cx_ref, cy_ref, kyd_ref,
+             myd_ref, p0_ref, ymain_ref, ytop_ref, yhalo_ref, zcarry) = refs
+        else:
+            (scal_ref, zfac_ref, xa_ref, xb_ref, cx_ref, cy_ref, p0_ref,
+             ymain_ref, ytop_ref, yhalo_ref, zcarry) = refs
         topb = scal_ref[0]
         own0 = scal_ref[1]
+    elif y_mxu:
+        (zfac_ref, xa_ref, xb_ref, cx_ref, cy_ref, kyd_ref, myd_ref,
+         ymain_ref, ytop_ref, zcarry) = refs
     else:
         (zfac_ref, xa_ref, xb_ref, cx_ref, cy_ref, ymain_ref, ytop_ref,
          zcarry) = refs
@@ -128,15 +148,37 @@ def _kernel(*refs, p: int, Dy: int, Dxp: int, ess_top: bool, shard: bool,
         t2 = t2 + cx_ref[1, p + s] * u_s
 
     # ---- y band ops: a = My t1 + Ky t2, b = My t2 ----
-    a = jnp.zeros_like(xw)
-    b = jnp.zeros_like(xw)
-    for s in range(-p, p + 1):
-        t1s = shifty(t1, s)
-        t2s = shifty(t2, s)
-        cK = cy_ref[0, p + s]
-        cM = cy_ref[1, p + s]
-        a = a + cM * t1s + cK * t2s
-        b = b + cM * t2s
+    if y_mxu:
+        # MXU variant: the 27 sublane-shift VPU passes become three small
+        # [Dy, Dy] matmuls per window plane (exact-f32 products via
+        # precision HIGHEST — same accuracy contract as the VPU form)
+        kyd = kyd_ref[:]
+        myd = myd_ref[:]
+        hp = jax.lax.Precision.HIGHEST
+        av, bv = [], []
+        for z in range(p + 1):
+            t1z = t1[z]                                   # [Dy, Dxp]
+            t2z = t2[z]
+            m1 = jax.lax.dot(myd, t1z, precision=hp,
+                             preferred_element_type=jnp.float32)
+            k2 = jax.lax.dot(kyd, t2z, precision=hp,
+                             preferred_element_type=jnp.float32)
+            m2 = jax.lax.dot(myd, t2z, precision=hp,
+                             preferred_element_type=jnp.float32)
+            av.append((m1 + k2)[None])
+            bv.append(m2[None])
+        a = jnp.concatenate(av, axis=0)
+        b = jnp.concatenate(bv, axis=0)
+    else:
+        a = jnp.zeros_like(xw)
+        b = jnp.zeros_like(xw)
+        for s in range(-p, p + 1):
+            t1s = shifty(t1, s)
+            t2s = shifty(t2, s)
+            cK = cy_ref[0, p + s]
+            cM = cy_ref[1, p + s]
+            a = a + cM * t1s + cK * t2s
+            b = b + cM * t2s
 
     # ---- per-layer z contraction: y_l = (Khat/hz) b + (Mhat hz) a ----
     kf = zfac_ref[ez, 0]
@@ -183,13 +225,15 @@ def _kernel(*refs, p: int, Dy: int, Dxp: int, ess_top: bool, shard: bool,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "dims", "periodic", "ess_top", "Khat", "Mhat", "interpret"))
+    "p", "dims", "periodic", "ess_top", "Khat", "Mhat", "y_mxu",
+    "interpret"))
 def lattice_sep_apply(x: jax.Array, cx: jax.Array, cy: jax.Array,
                       zfac: jax.Array, *, p: int,
                       dims: tuple[int, int, int],
                       periodic: tuple[bool, bool],
                       ess_top: bool = False,
                       Khat=None, Mhat=None,
+                      y_mxu: bool = False,
                       interpret: bool = False,
                       shard_scal: jax.Array | None = None,
                       p0: jax.Array | None = None):
@@ -228,7 +272,7 @@ def lattice_sep_apply(x: jax.Array, cx: jax.Array, cy: jax.Array,
 
     kern = functools.partial(_kernel, p=p, Dy=Dy, Dxp=Dxp, ess_top=ess_top,
                              shard=shard, Khat=Khat, Mhat=Mhat,
-                             interpret=interpret)
+                             y_mxu=y_mxu, interpret=interpret)
     cost = pl.CostEstimate(
         flops=2 * 7 * (2 * p + 1) * Dz * Dy * Dxp,
         bytes_accessed=4 * 2 * Dz * Dy * Dxp,
@@ -257,6 +301,22 @@ def lattice_sep_apply(x: jax.Array, cx: jax.Array, cy: jax.Array,
     ]
     args = [zfac, xm.astype(jnp.float32), xm.astype(jnp.float32),
             cx.astype(jnp.float32), cy.astype(jnp.float32)]
+    if y_mxu:
+        # dense [Dy, Dy] y factors, scattered from the bands under trace
+        # (static index ranges; a one-time setup cost XLA folds away)
+        kyd = jnp.zeros((Dy, Dy), jnp.float32)
+        myd = jnp.zeros((Dy, Dy), jnp.float32)
+        for s in range(-p, p + 1):
+            idx = np.arange(max(0, -s), min(Dy, Dy - s))
+            kyd = kyd.at[idx, idx + s].set(
+                cy[0, p + s, idx, 0].astype(jnp.float32))
+            myd = myd.at[idx, idx + s].set(
+                cy[1, p + s, idx, 0].astype(jnp.float32))
+        in_specs += [pl.BlockSpec((Dy, Dy), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((Dy, Dy), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [kyd, myd]
     if shard:
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]   # scal
                     + in_specs

@@ -25,6 +25,7 @@ Both read the same precomputed geometric factors
 
 from __future__ import annotations
 
+import os
 from functools import cached_property, partial
 
 import jax
@@ -606,6 +607,10 @@ class LaplacePA:
         self.sepk = None
         self._ess_top = False
         self._fused_interpret = force
+        # y-contraction via MXU dense [Dy, Dy] matmuls instead of sublane
+        # shifts (kernels/sep_apply y_mxu flag) — candidate perf variant,
+        # off by default until measured faster on chip per scale
+        self.sep_y_mxu = bool(int(os.environ.get("LPFEM_SEP_Y_MXU", "0")))
         st = self.space.struct
         ok = ((force or self.mode == "pallas")
               and self.C6 is not None and st is not None
@@ -645,6 +650,7 @@ class LaplacePA:
             x.astype(jnp.float32), self.sep_cx, self.sep_cy, self.sep_zfac,
             p=self.p, dims=self._lat_dims, periodic=self._lat_periodic,
             ess_top=ess_top, Khat=self.sepk[0], Mhat=self.sepk[1],
+            y_mxu=self.sep_y_mxu,
             interpret=self._fused_interpret).astype(self.dtype)
 
     def register_params(self, bp) -> None:

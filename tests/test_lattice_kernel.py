@@ -78,3 +78,37 @@ def test_fused_lattice_falls_back_on_curved_mesh():
     op = LaplacePA(sp, dtype=jnp.float32, mode="fused")
     op._init_fused_lattice(force=True)
     assert op.C6 is None and op.C6r is None   # curved: no affine compaction
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_sep_kernel_y_mxu_variant_matches(p):
+    """The MXU y-contraction variant (dense [Dy,Dy] matmuls instead of
+    sublane shifts) must be numerically interchangeable with the VPU band
+    form — both exact-f32 products."""
+    mesh = make_wave_tank(4, 3, 3)
+    sp = H1Space(mesh, p)
+    op64 = LaplacePA(sp, dtype=jnp.float64, mode="fused")
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(sp.n_dofs))
+    x32 = x.astype(jnp.float32)
+
+    op32 = LaplacePA(sp, dtype=jnp.float32, mode="fused")
+    op32._init_fused_lattice(force=True)
+    assert op32.sepk is not None
+    y_vpu = np.asarray(op32.apply(x32))
+    op32.sep_y_mxu = True
+    y_mxu = np.asarray(op32.apply(x32))
+    scale = float(np.max(np.abs(y_vpu)))
+    assert np.max(np.abs(y_mxu - y_vpu)) < 1e-5 * scale
+    y_ref = np.asarray(op64.apply(x))
+    assert np.max(np.abs(y_mxu - y_ref)) / np.max(np.abs(y_ref)) < 1e-5
+
+    # constrained (fused top-plane Dirichlet) path too
+    from lpfem.space import SurfaceSpace
+    s2v = SurfaceSpace(sp, attr=2).surf_to_vol
+    assert op32.enable_top_plane_ess(s2v)
+    yc = np.asarray(op32.constrained_apply(
+        x32, jnp.asarray(s2v.astype(np.int32))))
+    ess64 = jnp.asarray(s2v)
+    yc_ref = np.asarray(
+        op64.apply(x.at[ess64].set(0.0)).at[ess64].set(x[ess64]))
+    assert np.max(np.abs(yc - yc_ref)) / scale < 1e-5
