@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--order", type=int, default=4)
     ap.add_argument("--refs", type=int, default=2)
     ap.add_argument("--max-order", type=int, default=8)
+    ap.add_argument("--min-order", type=int, default=1,
+                    help="first order of the p sweep (resume/extend an "
+                         "existing append-only table)")
     ap.add_argument("--nx", type=int, default=8)
     ap.add_argument("--nz", type=int, default=2)
     ap.add_argument("--nsteps", type=int, default=150)
@@ -75,7 +78,7 @@ def main():
     if args.mode == "p":
         out = args.out or "data/pf-parallel-pconv-eta.txt"
         df = DataFile(out, "order surf_dofs eta_err_inf w_err_inf wall_s")
-        for p in range(1, args.max_order + 1):
+        for p in range(args.min_order, args.max_order + 1):
             _, r = run(p)
             df.append(p, r["dofs"], r["eta_err"], r["w_err"], r["wall"])
             print(f"p={p:2d} eta_err={r['eta_err']:.3e} w_err={r['w_err']:.3e} "

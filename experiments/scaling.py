@@ -56,6 +56,11 @@ def main():
                          "virtual-CPU mesh")
     ap.add_argument("--virtual-devices", type=int, default=0,
                     help="force N virtual CPU devices (0 = use real devices)")
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="max RK4 steps per dispatched program (a single "
+                         "on-device program >~5 min trips the TPU watchdog; "
+                         "executables are cached so chunking re-dispatches "
+                         "one compiled program)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -105,12 +110,23 @@ def main():
             # warm-up (excluded, ss.cpp:254) — also compiles; block so the
             # first timed repeat doesn't absorb leftover device work
             jax.block_until_ready(sprob.run(n_steps=1, state=(y0, phi0)))
-            walls = []
-            for _ in range(args.repeats):
+
+            def timed_run():
+                # host-side chunking (watchdog; CLAUDE.md): every chunk
+                # reuses the one cached executable, wall time spans all
+                # dispatches like the reference's MPI_Wtime bracket
                 t0 = time.perf_counter()
-                t, y, phi = sprob.run(n_steps=args.steps, state=(y0, phi0))
-                jax.block_until_ready(y)
-                walls.append(time.perf_counter() - t0)
+                t, y, phi, left = 0.0, y0, phi0, args.steps
+                while left > 0:
+                    n = min(args.chunk, left)
+                    t, y, phi = sprob.run(n_steps=n, t0=float(t),
+                                          state=(y, phi))
+                    jax.block_until_ready(y)
+                    left -= n
+                return time.perf_counter() - t0
+
+            timed_run()   # warm the chunk-size executables (compile excluded)
+            walls = [timed_run() for _ in range(args.repeats)]
             med = float(np.median(walls))
 
             # ---- communication accounting (per operator apply) ----
