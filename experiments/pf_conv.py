@@ -37,6 +37,11 @@ def main():
                     choices=["float64", "float32", "mixed"],
                     help="mixed reproduces the f64 convergence table on the "
                          "TPU (f32 inner CG + V-cycle, f64 outer residuals)")
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="max RK4 steps per dispatched program: a single "
+                         "on-device program running >~5 min trips the TPU "
+                         "watchdog (p>=8 at rtol_sq 1e-24 crosses it); "
+                         "chunks reuse one cached executable")
     ap.add_argument("--shard", type=int, default=0,
                     help="run each case through the n-device sharded runner "
                          "(the reference's mpirun form, convergence-"
@@ -63,7 +68,15 @@ def main():
             t, y, phi_st = sprob.run()
             phi = np.asarray(sprob.phi_global(phi_st))
         else:
-            (t, y, phi), _ = prob.run()
+            # host-side chunking (device watchdog; see --chunk)
+            import jax
+            t, y, phi, left = 0.0, *prob.initial_state(), cfg.nsteps
+            while left > 0:
+                n = min(args.chunk, left)
+                (t, y, phi), _ = prob.run(n_steps=n, t0=float(t),
+                                          state=(y, phi))
+                jax.block_until_ready(y)
+                left -= n
         wall = time.perf_counter() - t0
         eta_err = prob.eta_error_inf(y, float(t))
         # w error at final time (the hconv driver's metric); mixed carries
