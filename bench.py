@@ -60,18 +60,31 @@ def bench_once(args, refs: int, dtype: str | None = None,
     ns = prob.surf.n_dofs
     y0, phi0 = prob.initial_state()
 
+    # host-side chunking: a single on-device program running >~5 min trips
+    # the TPU watchdog (CLAUDE.md); mixed at refs>=3 crosses it for a
+    # 10-step program. Chunks reuse one cached executable; the ~30 ms
+    # dispatch latency per extra chunk is <1% of the walls it applies to.
+    chunk = args.chunk or (2 if (dtype == "mixed" and refs >= 3)
+                           else args.steps)
+
+    def run_steps(n_total):
+        t, y, phi, left = 0.0, y0, phi0, n_total
+        while left > 0:
+            n = min(chunk, left)
+            (t, y, phi), _ = prob.run(n_steps=n, t0=float(t), state=(y, phi))
+            jax.block_until_ready(y)
+            left -= n
+        return t, y, phi
+
     # warm-up (excluded, like ss.cpp:254); compiles via the cached,
     # params-threaded path (big buffers as jit arguments)
-    (t, y, phi), _ = prob.run(n_steps=1, state=(y0, phi0))
-    jax.block_until_ready(y)
-    (t, y, phi), _ = prob.run(n_steps=args.steps, state=(y0, phi0))
-    jax.block_until_ready(y)
+    run_steps(min(chunk, args.steps))
+    run_steps(args.steps)
 
     walls = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        (t, y, phi), _ = prob.run(n_steps=args.steps, state=(y0, phi0))
-        jax.block_until_ready(y)
+        t, y, phi = run_steps(args.steps)
         walls.append(time.perf_counter() - t0)
     dt_wall = statistics.median(walls)
     n_solves = 4 * args.steps
@@ -130,6 +143,10 @@ def main() -> None:
                     help="smoother degree for chebyshev/pmg")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timing repeats; median reported (tunnel variance)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="max RK4 steps per dispatched program (0 = auto: "
+                         "whole run, except mixed at refs>=3 where a "
+                         "10-step program trips the ~5-min device watchdog)")
     ap.add_argument("--no-secondary", action="store_true",
                     help="skip the f32 @ rtol_sq=1e-8 secondary measurement")
     ap.add_argument("--scales", default=None,
@@ -169,16 +186,30 @@ def main() -> None:
                "cg_iters": s["cg_iters"], "dtype": "float32",
                "rtol_sq": 1e-8,
                "note": "non-faithful softened protocol (rounds 1-3 headline)"}
-    prev = None
+    prev, prev_detail = None, {}
     for f in sorted(glob.glob("BENCH_r*.json")):
         try:
             rec = json.load(open(f))
             rec = rec.get("parsed", rec)   # driver wraps the bench line
             if rec and rec.get("metric") == "laplace_dof_throughput":
                 prev = rec.get("value")
+                prev_detail = rec.get("detail", {}) or {}
         except Exception:
             pass
-    vs = (r["value"] / prev) if prev else 1.0
+    # protocol-matched comparison: rounds 1-3 recorded the softened
+    # f32/rtol_sq=1e-8 configuration; comparing the faithful mixed/1e-16
+    # number against it would conflate a protocol change with a perf
+    # change, so match via the secondary f32 measurement in that case
+    this_proto = (args.dtype, args.rtol_sq)
+    prev_proto = (prev_detail.get("dtype", "float32"),
+                  prev_detail.get("rtol_sq", 1e-8))
+    if prev and prev_proto == this_proto:
+        vs, vs_basis = r["value"] / prev, "same protocol"
+    elif prev and sec and prev_proto == ("float32", 1e-8):
+        vs = sec["value"] / prev
+        vs_basis = "protocol-matched via secondary f32/1e-8 measurement"
+    else:
+        vs, vs_basis = 1.0, "no comparable prior record"
 
     print(json.dumps({
         "metric": "laplace_dof_throughput",
@@ -186,6 +217,7 @@ def main() -> None:
         "unit": "dof*solves/s",
         "vs_baseline": round(vs, 4),
         "detail": {
+            "vs_baseline_basis": vs_basis,
             "protocol": "ss.cpp faithful: SetRelTol(1e-8) -> r.z<=rz0*1e-16"
                         if (args.rtol_sq == 1e-16 and args.dtype == "mixed")
                         else f"dtype={args.dtype} rtol_sq={args.rtol_sq}",
@@ -213,14 +245,20 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:       # noqa: BLE001 — retry gate below
-        if _is_transient(e) and not os.environ.get(_RETRY_MARKER):
-            pause = float(os.environ.get("LPFEM_BENCH_RETRY_SLEEP", "30"))
-            print(f"[bench] transient backend failure, re-exec in {pause:g}s:"
+        # a wedged chip can stay UNAVAILABLE for minutes (round 3 lost its
+        # capture to one that outlived 3 driver attempts) — re-exec with
+        # exponential backoff, up to 4 times (30+60+120+240 s ≈ 7.5 min)
+        attempt = int(os.environ.get(_RETRY_MARKER, "0"))
+        if _is_transient(e) and attempt < 4:
+            pause = float(os.environ.get("LPFEM_BENCH_RETRY_SLEEP",
+                                         str(30 * 2 ** attempt)))
+            print(f"[bench] transient backend failure (attempt "
+                  f"{attempt + 1}/4), re-exec in {pause:g}s:"
                   f" {str(e).splitlines()[0] if str(e) else type(e).__name__}",
                   file=sys.stderr)
             sys.stderr.flush()
             time.sleep(pause)
             env = dict(os.environ)
-            env[_RETRY_MARKER] = "1"
+            env[_RETRY_MARKER] = str(attempt + 1)
             os.execve(sys.executable, [sys.executable] + sys.argv, env)
         raise

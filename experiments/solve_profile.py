@@ -62,9 +62,16 @@ def main():
 
     x = jnp.asarray(phi0)
     ess = fso.ess
-    timed("constrained apply", lambda v: prob.op.constrained_apply(v, ess), x)
+    timed("constrained apply", lambda v: prob.op.constrained_apply(v, ess),
+          x.astype(prob.op.dtype))
+    if fso.op_hi is not None:
+        # mixed mode: the outer residual's f64 operator (XLA path; f64 is
+        # emulated on v5e — the faithful-protocol overhead lives here)
+        timed("f64 constrained apply",
+              lambda v: fso.op_hi.constrained_apply(v, ess), x)
+        timed("f64 axpy+dot", lambda v: v + jnp.vdot(v, v) * 1e-30 * v, x)
     if args.precond == "pmg":
-        timed("V-cycle", fso._precond, x)
+        timed("V-cycle", fso._precond, x.astype(prob.op.dtype))
     timed("z-derivative", lambda v: fso.zderiv(v), x)
 
     # full solve: fixed point of solve -> phi (keeps shapes, warm-started)
