@@ -653,11 +653,18 @@ class LaplacePA:
             y_mxu=self.sep_y_mxu,
             interpret=self._fused_interpret).astype(self.dtype)
 
-    def register_params(self, bp) -> None:
+    def register_params(self, bp, need_diag: bool = True) -> None:
         """Register large device buffers as jit arguments (see
-        :mod:`lpfem.params`; avoids embedding them as HLO constants)."""
-        bp.register(self, "G6q", "C6", "C6r",
-                    "diag", "sep_cx", "sep_cy", "sep_zfac")
+        :mod:`lpfem.params`; avoids embedding them as HLO constants).
+
+        ``need_diag=False`` skips the lazy ``diag`` cached property unless it
+        was already computed: the mixed-precision OUTER (f64) operator never
+        preconditions, and merely touching ``diag`` here would assemble a
+        full f64 E-vector diagonal — at 137M dofs (refs=4) that single
+        setup program is what broke the remote compile."""
+        bp.register(self, "G6q", "C6", "C6r", "sep_cx", "sep_cy", "sep_zfac")
+        if need_diag or "diag" in self.__dict__:
+            bp.register(self, "diag")
         if self.lattice is None and self.column is None:
             # only the unstructured fallback gather/scatter reads it
             bp.register(self, "elem_dofs")
@@ -1026,7 +1033,10 @@ class NodalZDerivative:
         bp.register(self, "Jinv_z", "Jz3", "inv_mult")
         if self._top is not None:
             bp.register(self, "top_idx")
-        self.op.register_params(bp)
+        # gather tables only — a derivative never needs the Laplace diagonal
+        # (in mixed mode self.op is the f64 outer operator; forcing its lazy
+        # diag here would assemble a huge unused f64 E-vector program)
+        self.op.register_params(bp, need_diag=False)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         op = self.op

@@ -164,7 +164,8 @@ class FreeSurfaceOperator:
         if self.op_solve is not self.op:
             self.op_solve.register_params(bp)
         if self.op_hi is not None:
-            self.op_hi.register_params(bp)
+            # outer f64 operator: residual applies only, never preconditions
+            self.op_hi.register_params(bp, need_diag=False)
         self.zderiv.register_params(bp)
         bp.register(self, "_inv_diag", "ess")
         if self.relax is not None:

@@ -119,3 +119,18 @@ def test_mixed_problem_matches_f64_trajectory():
     assert ym.dtype == jnp.float64
     assert float(jnp.max(jnp.abs(ym - y64))) < 1e-12
     assert float(jnp.max(jnp.abs(phm - ph64))) < 1e-12
+
+
+def test_mixed_setup_never_assembles_outer_diag():
+    """Param registration must not force the f64 OUTER operator's lazy
+    ``diag`` (a full E-vector diagonal assembly): it is never used in mixed
+    mode — only the f32 inner operator preconditions — and at refs=4
+    (137M dofs) that one setup program is what broke the remote compile."""
+    prob = Problem(preset("pf_linear_periodic_par", dtype="mixed", nsteps=5))
+    assert prob.op_hi is not None
+    assert "diag" not in prob.op_hi.__dict__
+    # the inner operator's diag IS materialized (Jacobi/pmg smoother)
+    assert "diag" in prob.fso.op_solve.__dict__ \
+        or prob.fso.op_solve.diag is not None
+    # registered slots must not include (op_hi, "diag")
+    assert (prob.op_hi, "diag") not in prob.params.slots
