@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -89,25 +90,33 @@ def plot_scaling(path: str, out: str | None = None):
     print("wrote", out)
 
 
-def plot_diffraction(num_path: str, exact_path: str, out: str | None = None):
+def plot_diffraction(num_paths, exact_path: str, out: str | None = None):
+    """Polar overlay of one or more numerical rim envelopes vs the analytic
+    series (``num_paths`` may be a single path or a list — e.g. the
+    reference-mesh parity run next to the improved polar-mesh run)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    num = np.loadtxt(num_path, ndmin=2)       # theta eta_norm
+    if isinstance(num_paths, str):
+        num_paths = [num_paths]
     ex = np.loadtxt(exact_path, ndmin=2)
     fig = plt.figure(figsize=(6, 6))
     ax = fig.add_subplot(projection="polar")
     # mirror the half-domain (phase-plot.py:12-56)
-    th = np.concatenate([num[:, 0], 2 * np.pi - num[::-1, 0]])
-    r = np.concatenate([num[:, 1], num[::-1, 1]])
-    ax.plot(th, r, "b.", ms=3, label="numerical")
+    markers = ["b.", "g+", "mx", "c1"]
+    for path, mk in zip(num_paths, markers):
+        num = np.loadtxt(path, ndmin=2)       # theta eta_norm
+        th = np.concatenate([num[:, 0], 2 * np.pi - num[::-1, 0]])
+        r = np.concatenate([num[:, 1], num[::-1, 1]])
+        label = os.path.splitext(os.path.basename(path))[0]
+        ax.plot(th, r, mk, ms=4, label=label)
     th_e = np.concatenate([ex[:, 0], 2 * np.pi - ex[::-1, 0]])
     r_e = np.concatenate([ex[:, 1], ex[::-1, 1]])
     ax.plot(th_e, r_e, "r-", lw=1, label="McCamy-Fuchs")
-    ax.legend(loc="lower left")
+    ax.legend(loc="lower left", fontsize=8)
     fig.tight_layout()
-    out = out or num_path.replace(".txt", ".png")
+    out = out or num_paths[0].replace(".txt", ".png")
     fig.savefig(out, dpi=150)
     print("wrote", out)
 
@@ -123,7 +132,7 @@ def main():
     elif args.kind == "scaling":
         plot_scaling(args.paths[0], args.out)
     else:
-        plot_diffraction(args.paths[0], args.paths[1], args.out)
+        plot_diffraction(args.paths[:-1], args.paths[-1], args.out)
 
 
 if __name__ == "__main__":
