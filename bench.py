@@ -32,6 +32,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -94,8 +95,12 @@ def bench_once(args, refs: int, dtype: str | None = None,
     # dtype=mixed this is the TOTAL inner f32 iteration count of pcg_ir)
     solve = jit_with_params(
         lambda y_, p_: prob.fso.solve_laplace(y_[ns:], p_), prob.params)
-    _, iters = solve(y0, phi0)
-    iters = int(iters)
+    _, info = solve(y0, phi0)
+    iters = int(info.iters)
+    if not bool(info.converged):
+        print(f"[bench] WARNING: cold solve unconverged at refs={refs} "
+              f"(rz={float(info.rz):.3e} rz0={float(info.rz0):.3e})",
+              file=sys.stderr)
 
     # chained constrained-apply time (the CG hot op)
     ess = prob.fso.ess
@@ -187,7 +192,12 @@ def main() -> None:
                "rtol_sq": 1e-8,
                "note": "non-faithful softened protocol (rounds 1-3 headline)"}
     prev, prev_detail = None, {}
-    for f in sorted(glob.glob("BENCH_r*.json")):
+
+    def round_no(path):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    for f in sorted(glob.glob("BENCH_r*.json"), key=round_no):
         try:
             rec = json.load(open(f))
             rec = rec.get("parsed", rec)   # driver wraps the bench line

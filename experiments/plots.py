@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 
 import numpy as np
@@ -104,7 +105,7 @@ def plot_diffraction(num_paths, exact_path: str, out: str | None = None):
     fig = plt.figure(figsize=(6, 6))
     ax = fig.add_subplot(projection="polar")
     # mirror the half-domain (phase-plot.py:12-56)
-    markers = ["b.", "g+", "mx", "c1"]
+    markers = itertools.cycle(["b.", "g+", "mx", "c1"])
     for path, mk in zip(num_paths, markers):
         num = np.loadtxt(path, ndmin=2)       # theta eta_norm
         th = np.concatenate([num[:, 0], 2 * np.pi - num[::-1, 0]])
@@ -132,6 +133,11 @@ def main():
     elif args.kind == "scaling":
         plot_scaling(args.paths[0], args.out)
     else:
+        # last positional path is the analytic series; at least one
+        # numerical series must precede it
+        if len(args.paths) < 2:
+            ap.error("kind=diffraction needs >=2 paths: "
+                     "<numerical.txt>... <exact.txt>")
         plot_diffraction(args.paths[:-1], args.paths[-1], args.out)
 
 

@@ -56,9 +56,12 @@ def main():
                          "virtual-CPU mesh")
     ap.add_argument("--virtual-devices", type=int, default=0,
                     help="force N virtual CPU devices (0 = use real devices)")
-    ap.add_argument("--chunk", type=int, default=50,
+    ap.add_argument("--chunk", type=int, default=5,
                     help="max RK4 steps per dispatched program (a single "
-                         "on-device program >~5 min trips the TPU watchdog; "
+                         "on-device program >~5 min trips the TPU watchdog, "
+                         "and sharded RK4 died at 25/50-step chunks on the "
+                         "real chip while <=5 completes reliably; larger "
+                         "values are only safe on the CPU backend; "
                          "executables are cached so chunking re-dispatches "
                          "one compiled program)")
     ap.add_argument("--out", default=None)

@@ -66,6 +66,14 @@ class Config:
                                          # started solves from chasing ever-
                                          # smaller relative targets)
     cg_max_iter: int = 400
+    ir_max_outer: int = 4                # dtype="mixed": max iterative-
+                                         # refinement passes of the outer
+                                         # f64 residual loop (the stationary
+                                         # p-sweep needed 8 at p>=8)
+    ir_inner_rtol_sq: float = 1e-8       # dtype="mixed": inner f32 CG
+                                         # threshold on r.z per pass; must
+                                         # stay well above the f32 floor
+                                         # (~1e-10) — see solvers.pcg_ir
     precond: str = "jacobi"              # jacobi | chebyshev | pmg
     cheb_degree: int = 3                 # smoother degree (chebyshev / pmg)
     h_coarsen_min_dofs: int = 20000      # pmg: h-coarsen below p=1 while the

@@ -144,7 +144,8 @@ class Problem:
             self.op, self.surf, g=cfg.g, relax=relax,
             cg_rtol_sq=cfg.cg_rtol_sq, cg_atol_sq=cfg.cg_atol_sq,
             cg_max_iter=cfg.cg_max_iter, precond_fn=precond_fn,
-            op_hi=self.op_hi, op_solve=self.op_solve)
+            op_hi=self.op_hi, ir_max_outer=cfg.ir_max_outer,
+            ir_inner_rtol_sq=cfg.ir_inner_rtol_sq, op_solve=self.op_solve)
 
         # big-buffer registry: jit entry points thread these as arguments
         # instead of HLO constants (lpfem.params; required at 10M+ dofs)
@@ -188,17 +189,28 @@ class Problem:
 
         Compiled programs are cached per (n_steps, record); ``t0`` is a
         traced argument so resumed runs reuse the same executable. Big
-        buffers travel as jit arguments (``self.params``)."""
+        buffers travel as jit arguments (``self.params``).
+
+        Solver-convergence telemetry rides the aux carry
+        (:class:`~lpfem.surface.SolveCarry`): after each run,
+        ``self.last_solver_stats`` holds the worst per-solve iteration count
+        and an ``unconverged`` flag; an unconverged stage also emits a
+        ``RuntimeWarning`` — the analogue of MFEM CGSolver's
+        "No convergence!" print (``Solvers/laplace_solver.cpp:113`` path),
+        which the reference's time loops otherwise silently discard."""
+        from .surface import SolveCarry, SolveStats
+
         if n_steps is None:
             n_steps = self.cfg.nsteps
         y0, phi0 = state if state is not None else self.initial_state(t0)
         t0 = jnp.asarray(t0, dtype=self.dtype)
+        aux0 = SolveCarry(phi0, SolveStats.zero())
 
         if not jit:
-            state_f, outs, ok = rk4_run(self.fso, y0, phi0, t0, self.dt,
-                                        n_steps, record=record)
+            (t, y, aux), outs, ok = rk4_run(self.fso, y0, aux0, t0, self.dt,
+                                            n_steps, record=record)
             self._last_ok = ok
-            return state_f, outs
+            return self._finish(t, y, aux), outs
 
         # cache key holds a strong reference to `record` (id() alone can be
         # reused after garbage collection and silently return an executable
@@ -207,14 +219,26 @@ class Problem:
         if key not in self._compiled:
             from .params import jit_with_params
 
-            def go(t0_, y0_, phi0_):
-                return rk4_run(self.fso, y0_, phi0_, t0_, self.dt, n_steps,
+            def go(t0_, y0_, aux0_):
+                return rk4_run(self.fso, y0_, aux0_, t0_, self.dt, n_steps,
                                record=record)
 
             self._compiled[key] = jit_with_params(go, self.params)
-        state_f, outs, ok = self._compiled[key](t0, y0, phi0)
+        (t, y, aux), outs, ok = self._compiled[key](t0, y0, aux0)
         self._last_ok = ok
-        return state_f, outs
+        return self._finish(t, y, aux), outs
+
+    def _finish(self, t, y, aux):
+        """Unwrap the telemetry carry; warn once per run on non-convergence."""
+        self.last_solver_stats = aux.stats
+        if bool(aux.stats.unconverged):
+            import warnings
+            warnings.warn(
+                "Laplace CG did not converge in at least one RK4 stage "
+                f"(worst solve used {int(aux.stats.max_iters)} iterations; "
+                "threshold not met — raise cg_max_iter / ir_max_outer or "
+                "loosen cg_rtol_sq)", RuntimeWarning, stacklevel=3)
+        return (t, y, aux.phi)
 
     def check_state(self, y, phi) -> None:
         """Failure detection (SURVEY.md §5 — the reference has none): raise

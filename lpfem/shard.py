@@ -1199,8 +1199,9 @@ class ShardedProblem:
         lv_hi = self.fine_hi
         pmg = self.pmg
 
-        def rhs(t, y, phi_own, tb, tb_hi, pmg_tbs, jinv_z, surf_pos,
+        def rhs(t, y, aux, tb, tb_hi, pmg_tbs, jinv_z, surf_pos,
                 surf_loc):
+            phi_own, stats = aux
             eta, phi_fs = y[:NSurf], y[NSurf:]
             free = 1.0 - tb["ess"]
 
@@ -1250,7 +1251,15 @@ class ShardedProblem:
                 gen_w = alpha_gen * relax.cgen * inv_tau
                 deta = deta + gen_w * (eta_e - eta) - relax.cabs * inv_tau * eta
                 dpfs = dpfs + gen_w * (phi_e - phi_fs) - relax.cabs * inv_tau * phi_fs
-            return jnp.concatenate([deta, dpfs]), phi_new
+            # convergence telemetry — same semantics as the single-device
+            # FreeSurfaceOperator._info (dots are psum'd, so the verdict is
+            # SPMD-consistent across shards)
+            from .surface import SolveInfo
+            threshold = jnp.maximum(res.rz0 * rtol_sq, fso.cg_atol_sq)
+            stats = stats.update(SolveInfo(
+                iters=res.iters, converged=res.rz <= threshold,
+                rz=res.rz, rz0=res.rz0))
+            return jnp.concatenate([deta, dpfs]), (phi_new, stats)
 
         return rhs
 
@@ -1260,7 +1269,8 @@ class ShardedProblem:
         """Full sharded RK4 run. Returns (t, y_replicated, phi_stacked) —
         or ((t, y, phi), outs) when ``record`` is given.
 
-        ``record(t, y, phi_own)`` runs per device inside the scan with the
+        ``record(t, y, aux)`` — with ``aux = (phi_own, stats)`` — runs per
+        device inside the scan with the
         REPLICATED surface state ``y`` (and this device's volume slice), so
         surface-trajectory records — error histories, the diffraction
         envelope — come out identical to the single-device ``Problem.run``
@@ -1309,32 +1319,42 @@ class ShardedProblem:
             tb_hi = jax.tree.map(lambda a: a[0], tb_hi)
             pmg_tbs = jax.tree.map(lambda a: a[0], pmg_tbs)
 
-            def f(t, y, phi_own):
-                return rhs(t, y, phi_own, tb, tb_hi, pmg_tbs, jinv_z,
+            def f(t, y, aux):
+                return rhs(t, y, aux, tb, tb_hi, pmg_tbs, jinv_z,
                            surf_pos, surf_loc)
 
             # one shard's NaN must freeze every shard in the same step
             ndev = self.ndev
             g_red = lambda fin: self.fine._psum(fin.astype(jnp.int32)) == ndev
-            (t, y, phi), outs, ok = rk4_run(f, y0, phi0, t0, dt, n_steps,
-                                            record=record,
-                                            guard_reduce=g_red)
-            return t, y, phi[None], outs, ok
+            from .surface import SolveStats
+            aux0 = (phi0, SolveStats.zero())
+            (t, y, (phi, stats)), outs, ok = rk4_run(
+                f, y0, aux0, t0, dt, n_steps, record=record,
+                guard_reduce=g_red)
+            return t, y, phi[None], stats, outs, ok
 
         sh, rep = P("shard"), P()
         fn = jax.shard_map(
             device_fn, mesh=self.mesh,
             in_specs=(rep, rep, sh, sh, sh, sh, sh, sh, sh),
-            out_specs=(rep, rep, sh, rep, rep),
+            out_specs=(rep, rep, sh, rep, rep, rep),
             check_vma=False,
         )
         fn = jax.jit(fn)
 
         def call(t0, y0, phi0):
-            t, y, phi, outs, ok = fn(t0, y0, phi0, self.fine.tables,
-                                     hi_tables, pmg_tables, self.Jinv_z,
-                                     self.surf_pos, self.surf_loc)
+            t, y, phi, stats, outs, ok = fn(t0, y0, phi0, self.fine.tables,
+                                            hi_tables, pmg_tables,
+                                            self.Jinv_z,
+                                            self.surf_pos, self.surf_loc)
             self._last_ok = ok
+            self.last_solver_stats = stats
+            if bool(stats.unconverged):
+                import warnings
+                warnings.warn(
+                    "Laplace CG did not converge in at least one RK4 stage "
+                    f"(worst solve: {int(stats.max_iters)} iterations)",
+                    RuntimeWarning, stacklevel=2)
             if record is not None:
                 return (t, y, phi), outs
             return t, y, phi

@@ -512,16 +512,26 @@ class H1Space:
         new = idx[0] + Dx * (idx[1] + Dy * idx[2])
         if len(np.unique(new)) != self.n_dofs:
             return
-        self.elem_dofs = new[self.elem_dofs]
-        # sanity: element 0 sits at the lattice origin with unit strides
+        # sanity: every element's local dof order must be the x-fastest
+        # lattice order with unit strides from its own origin (wrapping on
+        # periodic axes). A Cartesian mesh imported with rotated element
+        # connectivity can have lattice centroids but non-lattice local
+        # axes — fall back to the unstructured numbering like every other
+        # detection bail-out (the gather-free StructuredLattice transfer
+        # requires this exact order).
         p1 = self.p + 1
-        e0 = self.elem_dofs[0].reshape(p1, p1, p1)
         ix = np.arange(p1)
-        expect = (ix[None, None, :] % Dx + Dx * (ix[None, :, None] % Dy)
-                  + Dx * Dy * (ix[:, None, None] % Dz))
-        if not np.array_equal(e0, expect):
-            raise AssertionError("structured renumbering produced unexpected "
-                                 "element-0 lattice (orientation mismatch)")
+        for a, axis in ((0, 3), (1, 2), (2, 1)):
+            g = idx[a][self.elem_dofs].reshape(-1, p1, p1, p1)
+            base = np.take(g, [0], axis=axis)
+            shape = [1, 1, 1, 1]
+            shape[axis] = p1
+            want = base + ix.reshape(shape)
+            if per[a]:
+                want = want % dims[a]
+            if not np.array_equal(g, want):
+                return
+        self.elem_dofs = new[self.elem_dofs]
         self.struct = StructuredInfo(dof_dims=(Dx, Dy, Dz),
                                      elem_dims=tuple(elem_dims),
                                      periodic=per)

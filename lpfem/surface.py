@@ -24,6 +24,7 @@ carry purely as the CG warm start, exactly mirroring MFEM's persistent
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,46 @@ from .space import SurfaceSpace
 
 __all__ = [
     "cgen_weight", "cabs_weight", "RelaxationZones", "FreeSurfaceOperator",
+    "SolveInfo", "SolveStats", "SolveCarry",
 ]
+
+
+class SolveInfo(NamedTuple):
+    """Per-solve convergence telemetry (the data MFEM's CGSolver prints —
+    iteration count and the final 'No convergence!' check,
+    ``Solvers/laplace_solver.cpp:113`` path — which the reference's time
+    loops otherwise discard)."""
+    iters: jax.Array        # int32 — total (inner) CG iterations
+    converged: jax.Array    # bool  — final residual met the threshold
+    rz: jax.Array           # final (preconditioned/outer) residual measure
+    rz0: jax.Array
+
+
+class SolveStats(NamedTuple):
+    """Running aggregate of :class:`SolveInfo` across RK4 stages/steps."""
+    max_iters: jax.Array    # int32 — worst single-solve iteration count
+    unconverged: jax.Array  # bool  — any stage exited above its threshold
+
+    @classmethod
+    def zero(cls) -> "SolveStats":
+        return cls(max_iters=jnp.asarray(0, dtype=jnp.int32),
+                   unconverged=jnp.asarray(False))
+
+    def update(self, info: SolveInfo) -> "SolveStats":
+        return SolveStats(
+            max_iters=jnp.maximum(self.max_iters, info.iters),
+            unconverged=jnp.logical_or(self.unconverged,
+                                       jnp.logical_not(info.converged)))
+
+
+class SolveCarry(NamedTuple):
+    """RK4 aux carry with telemetry: the volume-potential warm start plus
+    aggregated solver stats. :meth:`FreeSurfaceOperator.__call__` accepts
+    either a bare ``phi`` array or this (the carry pytree must be chosen
+    before entering a ``lax.scan``, so the caller decides — ``Problem.run``
+    always threads the telemetry form)."""
+    phi: jax.Array
+    stats: SolveStats
 
 
 def cgen_weight(x: np.ndarray, xg0: float, xg1: float) -> np.ndarray:
@@ -190,7 +230,7 @@ class FreeSurfaceOperator:
                          max_outer=self.ir_max_outer,
                          inner_rtol_sq=self.ir_inner_rtol_sq,
                          inner_max_iter=self.cg_max_iter)
-            return res.x, res.iters
+            return res.x, self._info(res)
         sop = self.op_solve
         b = jnp.zeros(sop.n_dofs, dtype=phi_warm.dtype)
         B, _ = sop.constrained_rhs(b, ess, phi_fs)
@@ -199,14 +239,28 @@ class FreeSurfaceOperator:
                   precond_fn=self._precond,
                   rtol_sq=self.cg_rtol_sq, atol_sq=self.cg_atol_sq,
                   max_iter=self.cg_max_iter)
-        return res.x, res.iters
+        return res.x, self._info(res)
+
+    def _info(self, res) -> SolveInfo:
+        """Convergence verdict under the MFEM threshold semantics the solve
+        ran with (a max_iter / breakdown / NaN exit all report converged ==
+        False; NaN because IEEE comparisons with NaN are False)."""
+        threshold = jnp.maximum(res.rz0 * self.cg_rtol_sq, self.cg_atol_sq)
+        return SolveInfo(iters=res.iters, converged=res.rz <= threshold,
+                         rz=res.rz, rz0=res.rz0)
 
     # ----------------------------------------------------------------- rhs
-    def __call__(self, t, y: jax.Array, phi: jax.Array):
+    def __call__(self, t, y: jax.Array, aux):
         ns = self.n_surf
         eta, phi_fs = y[:ns], y[ns:]
 
-        phi, _ = self.solve_laplace(phi_fs, phi)
+        # aux is either the bare volume-potential warm start or a
+        # SolveCarry(phi, stats) threading convergence telemetry — the
+        # branch is static (pytree structure), so both compile cleanly.
+        telemetry = isinstance(aux, SolveCarry)
+        phi = aux.phi if telemetry else aux
+
+        phi, info = self.solve_laplace(phi_fs, phi)
 
         if self._zd_top:
             w_tilde = self.zderiv.top_trace(phi)
@@ -225,4 +279,5 @@ class FreeSurfaceOperator:
             deta = deta + gen_w * (eta_e - eta) - rz.cabs * inv_tau * eta
             dphi_fs = dphi_fs + gen_w * (phi_e - phi_fs) - rz.cabs * inv_tau * phi_fs
 
-        return jnp.concatenate([deta, dphi_fs]), phi
+        aux_out = SolveCarry(phi, aux.stats.update(info)) if telemetry else phi
+        return jnp.concatenate([deta, dphi_fs]), aux_out
