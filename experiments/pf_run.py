@@ -105,8 +105,10 @@ def main():
             print(f"Step {step} / {cfg.nsteps}, t = {t:.4f} "
                   f"[{time.perf_counter() - t_wall0:.1f}s]")
         if pv_vol is not None:
+            from lpfem.ds import DS, ds_to_f64
+            phi_out = ds_to_f64(phi) if isinstance(phi, DS) else phi
             pv_vol.save(step, t, write_vtu, prob.space,
-                        {"phi": np.asarray(phi)})
+                        {"phi": np.asarray(phi_out)})
             pv_fs.save(step, t, write_vtu_surface, prob.surf,
                        {"eta": np.asarray(y[:ns]),
                         "phi_fs": np.asarray(y[ns:])})

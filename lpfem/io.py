@@ -196,7 +196,13 @@ def _fmt(c):
 
 def save_checkpoint(path: str, step: int, t: float, y, phi, **meta) -> None:
     """Persist the complete solver state: [eta; phi_fs], the volume-potential
-    warm start, step index and time (capability the reference lacks)."""
+    warm start, step index and time (capability the reference lacks). A
+    double-single warm start (the mixed DS solve carry, ``lpfem.ds.DS``)
+    is recombined to f64 so checkpoints stay format-stable; ``Problem.run``
+    re-splits on resume."""
+    from .ds import DS, ds_to_f64
+    if isinstance(phi, DS):
+        phi = ds_to_f64(phi)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, step=step, t=t, y=np.asarray(y), phi=np.asarray(phi),
              **{f"meta_{k}": v for k, v in meta.items()})

@@ -1021,12 +1021,22 @@ class NodalZDerivative:
         jz, layout, Dz, nplane = self._top
         p1 = self.p1
         dn = self.Dn[p1 - 1]
-        if layout == "struct":
+        from .ds import DS
+        if isinstance(x, DS):
+            # double-single volume potential (the mixed DS solve carry):
+            # only the top p+1 planes are needed, so recombining to the
+            # zderiv dtype costs O(p * nplane) — never a full-volume f64 op
+            dt = self.Dn.dtype
+            if layout == "struct":
+                sl = lambda v: v.reshape(Dz, nplane)[Dz - p1:]
+            else:
+                sl = lambda v: v.reshape(nplane, Dz)[:, Dz - p1:]
+            xs = sl(x.hi).astype(dt) + sl(x.lo).astype(dt)
+        elif layout == "struct":
             xs = x.reshape(Dz, nplane)[Dz - p1:]
-            w = jz * (dn @ xs)
         else:
             xs = x.reshape(nplane, Dz)[:, Dz - p1:]
-            w = jz * (xs @ dn)
+        w = jz * (dn @ xs) if layout == "struct" else jz * (xs @ dn)
         return w[self.top_idx]
 
     def register_params(self, bp) -> None:

@@ -145,7 +145,8 @@ class Problem:
             cg_rtol_sq=cfg.cg_rtol_sq, cg_atol_sq=cfg.cg_atol_sq,
             cg_max_iter=cfg.cg_max_iter, precond_fn=precond_fn,
             op_hi=self.op_hi, ir_max_outer=cfg.ir_max_outer,
-            ir_inner_rtol_sq=cfg.ir_inner_rtol_sq, op_solve=self.op_solve)
+            ir_inner_rtol_sq=cfg.ir_inner_rtol_sq, op_solve=self.op_solve,
+            hi_apply=cfg.hi_apply)
 
         # big-buffer registry: jit entry points thread these as arguments
         # instead of HLO constants (lpfem.params; required at 10M+ dofs)
@@ -204,6 +205,12 @@ class Problem:
             n_steps = self.cfg.nsteps
         y0, phi0 = state if state is not None else self.initial_state(t0)
         t0 = jnp.asarray(t0, dtype=self.dtype)
+        # DS outer path: the warm-start carry is a two-f32 pair; the scan
+        # carry pytree must be fixed before entry, so convert here (resumed
+        # chunks pass the DS pair straight back through `state`)
+        from .ds import DS, ds_from_f64
+        if self.fso._ds_op is not None and not isinstance(phi0, DS):
+            phi0 = ds_from_f64(phi0.astype(jnp.float64))
         aux0 = SolveCarry(phi0, SolveStats.zero())
 
         if not jit:
@@ -247,6 +254,7 @@ class Problem:
         freezes the carry at the last finite state; its flag is checked
         here, so a divergence inside a fused multi-step program is reported
         even though the returned state itself stays finite."""
+        from .ds import DS, ds_to_f64
         from .profiling import check_finite
         ok = getattr(self, "_last_ok", None)
         if ok is not None and not bool(ok):
@@ -255,7 +263,8 @@ class Problem:
                 "was detected and the state was frozen at the last finite "
                 "step (see timestep.rk4_run guard)")
         check_finite("free-surface state [eta; phi_fs]", y)
-        check_finite("volume potential", phi)
+        check_finite("volume potential",
+                     ds_to_f64(phi) if isinstance(phi, DS) else phi)
 
     # ----------------------------------------------------------------- errors
     def eta_error_inf(self, y, t) -> float:
@@ -269,7 +278,10 @@ class Problem:
         return float(np.max(np.abs(eta - ex)))
 
     def w_error_inf(self, phi, t) -> float:
+        from .ds import DS, ds_to_f64
         from .operators import NodalZDerivative
+        if isinstance(phi, DS):
+            phi = ds_to_f64(phi)
         w_num = np.asarray(NodalZDerivative(self.op_hi or self.op)(phi))
         wv = self.wave
         ex = self.space.project(lambda x, y, z: wv.w_vel(x, y, z, t))

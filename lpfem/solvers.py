@@ -27,7 +27,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CGResult", "pcg", "pcg_ir", "pcg_refined", "jacobi_preconditioner"]
+__all__ = ["CGResult", "pcg", "pcg_ir", "pcg_ir_ds", "pcg_refined",
+           "jacobi_preconditioner"]
 
 
 class CGResult(NamedTuple):
@@ -151,6 +152,61 @@ def pcg_ir(apply_hi: Callable, apply_lo: Callable, b: jax.Array,
 
     zero = jnp.asarray(0, dtype=jnp.int32)
     x, r, rr, it, k = jax.lax.while_loop(cond, body, (x, r, rr0, zero, zero))
+    return CGResult(x=x, iters=it, rz=rr, rz0=rr0)
+
+
+def pcg_ir_ds(apply_ds: Callable, apply_lo: Callable, b_ds, x0_ds,
+              precond_lo: Callable = lambda r: r,
+              rtol_sq: float = 1e-24, atol_sq: float = 0.0,
+              max_outer: int = 4, inner_rtol_sq: float = 1e-8,
+              inner_max_iter: int = 1000,
+              dot_fn: Callable = _default_dot) -> CGResult:
+    """Double-single (two-f32) twin of :func:`pcg_ir` — iterative refinement
+    with the ENTIRE outer loop in DS arithmetic, no f64 anywhere.
+
+    Why: on v5e the emulated-f64 outer is wildly expensive — not just the
+    residual applies (~9x an f32 apply) but the *vector* work: one f64
+    axpy+dot at 2.18M dofs measured 14 ms vs ~0.05 ms in f32
+    (``experiments/solve_profile.py``). Here ``b_ds``/``x0_ds`` are
+    :class:`~lpfem.ds.DS` pairs, ``apply_ds`` maps DS -> DS with <= 1e-13
+    relative error vs the true f64 operator (``lpfem.ds.SeparableDS`` /
+    the Pallas DS kernel), the residual/update algebra runs as error-free
+    f32 transformations, and the inner CG consumes ``r.hi`` (the residual's
+    leading f32 digits — all iterative refinement ever needs of it).
+
+    Convergence is tested on ``||r.hi||^2`` against
+    ``max(rr0 * rtol_sq, atol_sq)`` — same MFEM semantics as
+    :func:`pcg_ir` (``Convergence_and_Scaling/ss.cpp:90-93``); the f32 dot
+    is ample for a threshold spanning 16 orders of magnitude. Returns a
+    CGResult whose ``x`` is the DS pair and whose ``rz``/``rz0`` are the
+    outer ``||r||^2`` values (f32 scalars).
+    """
+    from .ds import ds_add_f32, ds_sub
+
+    def rdot(r):
+        return dot_fn(r.hi, r.hi)
+
+    r = ds_sub(b_ds, apply_ds(x0_ds))
+    rr0 = rdot(r)
+    threshold = jnp.maximum(rr0 * jnp.float32(rtol_sq),
+                            jnp.float32(atol_sq))
+
+    def cond(st):
+        x, r, rr, it, k = st
+        return jnp.logical_and(rr > threshold, k < max_outer)
+
+    def body(st):
+        x, r, rr, it, k = st
+        inner = pcg(apply_lo, r.hi, jnp.zeros_like(r.hi),
+                    precond_fn=precond_lo, rtol_sq=inner_rtol_sq,
+                    max_iter=inner_max_iter, dot_fn=dot_fn)
+        x = ds_add_f32(x, inner.x)
+        r = ds_sub(b_ds, apply_ds(x))
+        return (x, r, rdot(r), it + inner.iters, k + 1)
+
+    zero = jnp.asarray(0, dtype=jnp.int32)
+    x, r, rr, it, k = jax.lax.while_loop(cond, body,
+                                         (x0_ds, r, rr0, zero, zero))
     return CGResult(x=x, iters=it, rz=rr, rz0=rr0)
 
 

@@ -159,7 +159,7 @@ class FreeSurfaceOperator:
                  precond_fn=None,
                  op_hi: LaplacePA | None = None,
                  ir_max_outer: int = 4, ir_inner_rtol_sq: float = 1e-8,
-                 op_solve=None):
+                 op_solve=None, hi_apply: str = "auto"):
         """``op_hi`` switches the Laplace solve to mixed precision: ``op``
         (f32) powers the inner CG + preconditioner, ``op_hi`` (f64) the outer
         true residuals and the z-derivative (``solvers.pcg_ir``) — MFEM's
@@ -198,6 +198,34 @@ class FreeSurfaceOperator:
         self._precond = precond_fn if precond_fn is not None \
             else (lambda r: r * self._inv_diag)
 
+        # double-single outer path (dtype="mixed" on separable lattices):
+        # run pcg_ir's outer loop entirely in two-f32 arithmetic
+        # (solvers.pcg_ir_ds) instead of emulated f64 — on v5e the f64
+        # vector ops alone cost ~300x their f32 twins (see lpfem.ds).
+        # hi_apply: "auto" = DS when the structure allows, "ds" = require,
+        # "f64" = force the emulated-f64 outer (the pre-round-5 behavior).
+        if hi_apply not in ("auto", "ds", "f64"):
+            raise ValueError(f"unknown hi_apply {hi_apply!r}")
+        self._ds_op = None
+        # "auto" engages DS only when the requested tolerance is within DS
+        # reach: the DS residual floor is ~1e-14 * ||b|| absolute (apply +
+        # subtraction error-free transforms carry ~49 mantissa bits), so a
+        # warm-started rz0*1e-24 protocol — whose target chases ever-smaller
+        # ABSOLUTE residuals (``strongscaling.cpp:87``) — can stall just
+        # above threshold and burn all outer passes. Those keep the f64
+        # outer; the faithful ss.cpp rz0*1e-16 (and looser) runs DS.
+        tol_ok = cg_rtol_sq >= 1e-20
+        if ((hi_apply == "ds" or (hi_apply == "auto" and tol_ok))
+                and op_hi is not None
+                and getattr(op_hi, "sep", None) is not None
+                and getattr(op, "_ess_top", False)):
+            from .ds import SeparableDS
+            self._ds_op = SeparableDS(op_hi.sep)
+        if hi_apply == "ds" and self._ds_op is None:
+            raise ValueError("hi_apply='ds' needs dtype='mixed' on a "
+                             "separable lattice with the top-plane "
+                             "essential set")
+
     def register_params(self, bp) -> None:
         """Thread large buffers as jit arguments (lpfem.params)."""
         self.op.register_params(bp)
@@ -218,6 +246,8 @@ class FreeSurfaceOperator:
         """Dirichlet Laplace solve: phi = phi_fs on the free surface,
         zero-Neumann elsewhere (``Solvers/PF_linear_periodic.cpp:71-92``)."""
         op, ess = self.op, self.ess
+        if self._ds_op is not None:
+            return self._solve_laplace_ds(phi_fs, phi_warm)
         if self.op_hi is not None:
             oph = self.op_hi
             b = jnp.zeros(oph.n_dofs, dtype=phi_warm.dtype)
@@ -239,6 +269,45 @@ class FreeSurfaceOperator:
                   precond_fn=self._precond,
                   rtol_sq=self.cg_rtol_sq, atol_sq=self.cg_atol_sq,
                   max_iter=self.cg_max_iter)
+        return res.x, self._info(res)
+
+    def _solve_laplace_ds(self, phi_fs: jax.Array, phi_warm):
+        """Double-single mixed solve: outer residual loop in two-f32 pairs
+        (``solvers.pcg_ir_ds`` + ``ds.SeparableDS``), inner f32 CG
+        unchanged. ``phi_warm`` may be a DS pair (the carried warm start)
+        or a plain f64/f32 array (cold start); the returned ``phi`` is a
+        DS pair, which ``Problem.run`` threads through the RK4 carry."""
+        from .ds import DS, ds_from_f64
+        from .solvers import pcg_ir_ds
+
+        ess = self.ess
+        dsop = self._ds_op
+        vals = (ds_from_f64(phi_fs) if phi_fs.dtype == jnp.float64
+                else DS(phi_fs.astype(jnp.float32),
+                        jnp.zeros_like(phi_fs, dtype=jnp.float32)))
+        n = self.op_hi.n_dofs
+        # eliminated RHS of the zero-source Dirichlet system:
+        # B = -A x_bc on free dofs, B[ess] = phi_fs (constrained_rhs with
+        # b = 0, ``Solvers/PF_linear_periodic.cpp:71-92``)
+        xbh = jnp.zeros(n, jnp.float32).at[ess].set(vals.hi)
+        xbl = jnp.zeros(n, jnp.float32).at[ess].set(vals.lo)
+        y = dsop.apply(DS(xbh, xbl))
+        B = DS((-y.hi).at[ess].set(vals.hi), (-y.lo).at[ess].set(vals.lo))
+        if isinstance(phi_warm, DS):
+            w = phi_warm
+        elif phi_warm.dtype == jnp.float64:
+            w = ds_from_f64(phi_warm)
+        else:
+            w = DS(phi_warm.astype(jnp.float32),
+                   jnp.zeros_like(phi_warm, dtype=jnp.float32))
+        x0 = DS(w.hi.at[ess].set(vals.hi), w.lo.at[ess].set(vals.lo))
+        res = pcg_ir_ds(dsop.constrained_apply_top,
+                        lambda v: self.op.constrained_apply(v, ess),
+                        B, x0, precond_lo=self._precond,
+                        rtol_sq=self.cg_rtol_sq, atol_sq=self.cg_atol_sq,
+                        max_outer=self.ir_max_outer,
+                        inner_rtol_sq=self.ir_inner_rtol_sq,
+                        inner_max_iter=self.cg_max_iter)
         return res.x, self._info(res)
 
     def _info(self, res) -> SolveInfo:

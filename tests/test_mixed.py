@@ -117,8 +117,12 @@ def test_mixed_problem_matches_f64_trajectory():
     (t2, y64, ph64), _ = p64.run(n_steps=10, state=p64.initial_state())
     pm.check_state(ym, phm)
     assert ym.dtype == jnp.float64
+    # at this tolerance the DS (two-f32) outer engages: the warm-start
+    # carry is a DS pair (lpfem.ds)
+    from lpfem.ds import DS, ds_to_f64
+    assert isinstance(phm, DS)
     assert float(jnp.max(jnp.abs(ym - y64))) < 1e-12
-    assert float(jnp.max(jnp.abs(phm - ph64))) < 1e-12
+    assert float(jnp.max(jnp.abs(ds_to_f64(phm) - ph64))) < 1e-12
 
 
 def test_mixed_setup_never_assembles_outer_diag():
