@@ -28,7 +28,7 @@ import numpy as np
 
 from .io import surface_cells, volume_cells
 
-__all__ = ["GLVisStream", "solution_text"]
+__all__ = ["GLVisStream", "solution_text", "parallel_solution_text"]
 
 
 def _mesh_text(points: np.ndarray, conn: np.ndarray, dim: int) -> str:
@@ -68,6 +68,45 @@ def solution_text(sp, values, keys: str | None = None) -> str:
         dim = 2
     txt = "solution\n" + _mesh_text(pts, conn, dim) + "\n" + _gf_text(vals, dim)
     if keys:
+        txt += f"keys {keys}\n"
+    return txt
+
+
+def _piece(sp, values, nranks: int, rank: int):
+    """Rank-``rank``'s contiguous element slice of the visualization cells
+    (the z-slab shard analogue). Points are per-element duplicated, so the
+    slice is a pure row range."""
+    vals = np.asarray(values)[np.asarray(sp.elem_dofs)].reshape(-1)
+    if sp.elem_dofs.shape[1] == (sp.p + 1) ** 3:
+        pts, conn = volume_cells(sp)
+        dim = 3
+    else:
+        pts, conn = surface_cells(sp)
+        dim = 2
+    ne = sp.elem_dofs.shape[0]
+    L = sp.elem_dofs.shape[1]
+    nsub = conn.shape[0] // ne
+    bounds = np.linspace(0, ne, nranks + 1).astype(int)
+    e0, e1 = bounds[rank], bounds[rank + 1]
+    pts_r = pts[e0 * L:e1 * L]
+    vals_r = vals[e0 * L:e1 * L]
+    conn_r = conn[e0 * nsub:e1 * nsub] - e0 * L
+    return pts_r, conn_r, vals_r, dim
+
+
+def parallel_solution_text(sp, values, nranks: int, rank: int,
+                           keys: str | None = None) -> str:
+    """One rank's payload of the GLVis *parallel* stream: the
+    ``"parallel " << nranks << " " << rank`` handshake the reference's
+    parallel programs emit before their piece of the mesh + grid function
+    (``Solvers/laplace_solver_parallel.cpp:166-172``). GLVis reassembles
+    the pieces from one connection per rank; here a single process plays
+    all ranks (the shard analogue of MFEM's per-MPI-rank socketstream)."""
+    pts, conn, vals, dim = _piece(sp, values, nranks, rank)
+    txt = (f"parallel {nranks} {rank}\n"
+           "solution\n" + _mesh_text(pts, conn, dim) + "\n"
+           + _gf_text(vals, dim))
+    if keys and rank == 0:
         txt += f"keys {keys}\n"
     return txt
 
@@ -116,9 +155,46 @@ class GLVisStream:
             self._disabled = True
             return False
 
+    def send_parallel(self, sp, values, nranks: int,
+                      keys: str | None = None) -> bool:
+        """Stream ``nranks`` pieces over one connection per rank — the
+        reference's parallel-GLVis handshake
+        (``Solvers/laplace_solver_parallel.cpp:166-172``), with this
+        process playing every rank. Connections persist across sends."""
+        if self._disabled:
+            return False
+        socks = getattr(self, "_psocks", None)
+        if socks is None or len(socks) != nranks:
+            try:
+                socks = [socket.create_connection(
+                    (self.host, self.port), timeout=self.timeout)
+                    for _ in range(nranks)]
+            except OSError as e:
+                print(f"glvis: unable to connect to {self.host}:{self.port} "
+                      f"({e}); live visualization disabled")
+                self._disabled = True
+                return False
+            self._psocks = socks
+        try:
+            for rank, s in enumerate(socks):
+                s.sendall(parallel_solution_text(
+                    sp, values, nranks, rank, keys=keys).encode())
+            return True
+        except OSError as e:
+            print(f"glvis: send failed ({e}); live visualization disabled")
+            self.close()
+            self._disabled = True
+            return False
+
     def close(self) -> None:
         if self._sock is not None:
             try:
                 self._sock.close()
             finally:
                 self._sock = None
+        for s in getattr(self, "_psocks", None) or []:
+            try:
+                s.close()
+            except OSError:
+                pass
+        self._psocks = None

@@ -267,13 +267,20 @@ class Problem:
                      ds_to_f64(phi) if isinstance(phi, DS) else phi)
 
     # ----------------------------------------------------------------- errors
-    def eta_error_inf(self, y, t) -> float:
-        """max-norm error of eta vs the analytic wave at time t (MFEM
-        ``ComputeMaxError`` over nodes, the dynamic-accuracy metric of
-        ``Convergence_and_Scaling/convergence-parallel.cpp:249-281``)."""
+    def eta_error_inf(self, y, t, quad: bool = True) -> float:
+        """max-norm error of eta vs the analytic wave at time t — the
+        dynamic-accuracy metric of
+        ``Convergence_and_Scaling/convergence-parallel.cpp:249-281``.
+        ``quad=True`` (default) uses MFEM's literal ``ComputeMaxError``
+        semantics (max over element integration points,
+        :meth:`~lpfem.space.SurfaceSpace.max_error_quad`); ``quad=False``
+        is the cheaper nodal max (equal to leading order)."""
         ns = self.surf.n_dofs
         eta = np.asarray(y[:ns])
         w = self.wave
+        if quad:
+            return self.surf.max_error_quad(
+                eta, lambda x, yy, z: w.eta(x, yy, t))
         ex = self.surf.project(lambda x, yy, z: w.eta(x, yy, t))
         return float(np.max(np.abs(eta - ex)))
 

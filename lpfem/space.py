@@ -666,3 +666,34 @@ class SurfaceSpace:
     def project(self, fn) -> np.ndarray:
         X = self.node_coords
         return np.asarray(fn(X[:, 0], X[:, 1], X[:, 2]), dtype=np.float64)
+
+    def max_error_quad(self, vals, fn, q: int | None = None) -> float:
+        """Max-norm error with MFEM ``GridFunction::ComputeMaxError``
+        semantics: the max runs over *element integration points* of an
+        order-(2p+3) Gauss rule — not over the GLL nodes — exactly the
+        dynamic-accuracy metric of
+        ``Convergence_and_Scaling/convergence-parallel.cpp:269-271``
+        (MFEM's default ``ComputeLpError(infinity(), ...)`` rule). Host
+        NumPy; a diagnostic, not a hot path."""
+        from .elements import basis_1d
+        p1 = self.p + 1
+        q = q if q is not None else self.p + 2    # exact for order 2p+3
+        B = basis_1d(self.p, q).B                 # [q, p1]
+        u = np.asarray(vals)[self.elem_dofs].reshape(-1, p1, p1)
+        uq = np.einsum("by,ax,eyx->eba", B, B, u, optimize=True)
+        X = np.asarray(self.node_coords)[self.elem_dofs].reshape(
+            -1, p1, p1, 3).copy()
+        # periodic wrap elements: the identified seam node reads the wrong
+        # side of the domain (x: ... 0.97, 0.0), so the interpolated
+        # geometry would sweep the whole period. Unwrap per element using
+        # the true extent (corner_coords are stored unwrapped).
+        mesh = self.vol.mesh
+        for d in getattr(mesh, "periodic_axes", ()) or ():
+            bbmin, bbmax = mesh.bounding_box()
+            L = float(bbmax[d] - bbmin[d])
+            Xd = X[..., d]
+            emax = Xd.max(axis=(1, 2), keepdims=True)
+            Xd[Xd < emax - 0.5 * L] += L
+        Xq = np.einsum("by,ax,eyxd->ebad", B, B, X, optimize=True)
+        ex = fn(Xq[..., 0], Xq[..., 1], Xq[..., 2])
+        return float(np.max(np.abs(uq - ex)))
