@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--cheb-degree", type=int, default=5)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--rtol-sq", type=float, default=1e-8,
+                    help="CG tolerance (1e-16 = the faithful ss.cpp "
+                         "protocol; selects the DS outer in dtype=mixed)")
     args = ap.parse_args()
 
     import jax
@@ -37,7 +40,7 @@ def main():
 
     cfg = preset("scaling_base", order=args.order, ref_levels=args.refs,
                  precond=args.precond, cheb_degree=args.cheb_degree,
-                 dtype=args.dtype, cg_rtol_sq=1e-8, cg_max_iter=300)
+                 dtype=args.dtype, cg_rtol_sq=args.rtol_sq, cg_max_iter=300)
     prob = Problem(cfg)
     n = prob.space.n_dofs
     ns = prob.surf.n_dofs
@@ -70,22 +73,48 @@ def main():
         timed("f64 constrained apply",
               lambda v: fso.op_hi.constrained_apply(v, ess), x)
         timed("f64 axpy+dot", lambda v: v + jnp.vdot(v, v) * 1e-30 * v, x)
+    if getattr(fso, "_ds_op", None) is not None:
+        # double-single outer (the round-5 faithful-protocol path): time
+        # the DS residual apply and the DS vector algebra it drives
+        from lpfem.ds import DS, ds_add_f32, ds_sub
+        x32 = x.astype(jnp.float32)
+
+        def ds_apply(v):
+            y = fso._ds_op.constrained_apply_top(v)
+            return DS(y.hi, y.lo)
+        timed("DS constrained apply", ds_apply,
+              DS(x32, jnp.zeros_like(x32)))
+        timed("DS sub+add+dot",
+              lambda v: ds_add_f32(ds_sub(v, DS(v.hi * 0.5, v.lo * 0.5)),
+                                   v.hi * jnp.vdot(v.hi, v.hi) * 1e-30),
+              DS(x32, jnp.zeros_like(x32)))
     if args.precond == "pmg":
         timed("V-cycle", fso._precond, x.astype(prob.op.dtype))
     timed("z-derivative", lambda v: fso.zderiv(v), x)
 
-    # full solve: fixed point of solve -> phi (keeps shapes, warm-started)
+    # full solve: fixed point of solve -> phi (keeps shapes, warm-started).
+    # In the DS-outer mode the warm-start carry is a two-f32 pair (same
+    # seeding as Problem.run).
+    from lpfem.ds import ds_from_f64
+    phi_seed = x
+    phi0_seed = phi0
+    if getattr(fso, "_ds_op", None) is not None:
+        phi_seed = ds_from_f64(x.astype(jnp.float64))
+        phi0_seed = ds_from_f64(jnp.asarray(phi0, jnp.float64))
+
     def solve1(phi):
         phi2, _ = fso.solve_laplace(y0[ns:], phi)
         return phi2
-    timed("laplace solve (warm)", solve1, x, iters=max(4, args.iters // 4))
+    timed("laplace solve (warm)", solve1, phi_seed,
+          iters=max(4, args.iters // 4))
 
     def step1(carry):
         y, phi = carry
         from lpfem.timestep import rk4_step
         y2, phi2 = rk4_step(fso, 0.0, prob.dt, y, phi)
         return (y2, phi2)
-    timed("full RK4 step", step1, (y0, phi0), iters=max(2, args.iters // 8))
+    timed("full RK4 step", step1, (y0, phi0_seed),
+          iters=max(2, args.iters // 8))
 
 
 if __name__ == "__main__":

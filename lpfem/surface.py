@@ -215,7 +215,15 @@ class FreeSurfaceOperator:
         # above threshold and burn all outer passes. Those keep the f64
         # outer; the faithful ss.cpp rz0*1e-16 (and looser) runs DS.
         tol_ok = cg_rtol_sq >= 1e-20
-        if ((hi_apply == "ds" or (hi_apply == "auto" and tol_ok))
+        # "auto" also requires a backend where f64 is emulated (TPU): on
+        # CPU the native-f64 outer is ~25x FASTER than DS arithmetic
+        # (measured via experiments/solve_profile), so DS would regress
+        # every CPU run (tests, virtual-device scaling tables).
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if ((hi_apply == "ds" or (hi_apply == "auto" and tol_ok and on_tpu))
                 and op_hi is not None
                 and getattr(op_hi, "sep", None) is not None
                 and getattr(op, "_ess_top", False)):

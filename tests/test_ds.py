@@ -126,19 +126,28 @@ def test_mixed_ds_solve_matches_f64_outer():
     assert float(jnp.max(jnp.abs(yb - y2))) == 0.0
 
 
-def test_hi_apply_auto_gates_on_tolerance():
-    """'auto' engages DS only when the requested tolerance is within the
-    ~49-bit DS residual floor: the rz0*1e-24 protocols
-    (``strongscaling.cpp:87``) keep the f64 outer, the faithful ss.cpp
-    rz0*1e-16 runs DS."""
+def test_hi_apply_auto_gates_on_tolerance_and_platform():
+    """'auto' engages DS only when (a) the requested tolerance is within
+    the ~49-bit DS residual floor — the rz0*1e-24 protocols
+    (``strongscaling.cpp:87``) keep the f64 outer — and (b) f64 is
+    emulated on the backend (TPU). On this CPU test backend native f64 is
+    ~25x faster than DS arithmetic, so 'auto' must keep the f64 outer at
+    EVERY tolerance; 'ds' still forces the DS path (how the DS tests run
+    off-chip)."""
+    import jax
+
     from lpfem.configs import preset
     from lpfem.problem import Problem
 
+    assert jax.devices()[0].platform == "cpu"
     kw = dict(nx=4, nz=2, order=2, nsteps=2, dtype="mixed")
     tight = Problem(preset("pf_linear_periodic", cg_rtol_sq=1e-24, **kw))
     assert tight.fso._ds_op is None
     faithful = Problem(preset("pf_linear_periodic", cg_rtol_sq=1e-16, **kw))
-    assert faithful.fso._ds_op is not None
-    forced = Problem(preset("pf_linear_periodic", cg_rtol_sq=1e-24,
+    assert faithful.fso._ds_op is None      # cpu: native f64 wins
+    forced = Problem(preset("pf_linear_periodic", cg_rtol_sq=1e-16,
                             hi_apply="ds", **kw))
     assert forced.fso._ds_op is not None
+    forced_tight = Problem(preset("pf_linear_periodic", cg_rtol_sq=1e-24,
+                                  hi_apply="ds", **kw))
+    assert forced_tight.fso._ds_op is not None
