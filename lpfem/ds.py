@@ -72,9 +72,24 @@ def ds_to_f64(d: DS) -> jax.Array:
     return d.hi.astype(jnp.float64) + d.lo.astype(jnp.float64)
 
 
+def _opaque(a, b):
+    """Hide a value pair from XLA's HLO rewriter (CSE / reassociation).
+
+    CAVEAT (measured, see ``kernels/sep_apply_ds.py`` docstring): on
+    XLA:**CPU** under jit this is NOT sufficient — the fusion pass
+    duplicates cheap multiplies into every consumer fusion straight
+    through the barrier, and LLVM contracts the fused mul+add into an
+    fma, demoting a jitted DS stream to plain-f32 accuracy. Eager CPU
+    execution (how the accuracy tests run) and XLA:TPU (how production
+    runs — the committed bench converges at rz0*1e-16 through this
+    path, impossible with a contracted stream) are exact."""
+    return jax.lax.optimization_barrier((a, b))
+
+
 def two_sum(a, b):
     """Knuth exact addition: a + b = s + e with s = fl(a+b). 6 flops,
     branch-free (no magnitude precondition)."""
+    a, b = _opaque(a, b)
     s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
@@ -83,6 +98,7 @@ def two_sum(a, b):
 
 def fast_two_sum(a, b):
     """Dekker exact addition, REQUIRES |a| >= |b| (or a == 0). 3 flops."""
+    a, b = _opaque(a, b)
     s = a + b
     e = b - (s - a)
     return s, e
@@ -91,7 +107,7 @@ def fast_two_sum(a, b):
 def split(a):
     """Veltkamp split: a = h + l with h, l having <= 12 significant bits,
     so products h*h', h*l', l*l' of split values are exact in f32."""
-    c = _SPLIT * a
+    c, a = _opaque(_SPLIT * a, a)
     h = c - (c - a)
     return h, a - h
 
@@ -157,8 +173,14 @@ class SeparableDS:
     (``lpfem/surface.py`` solve_laplace).
     """
 
-    def __init__(self, sep):
-        # sep: a SeparableLattice whose band arrays are f64
+    def __init__(self, sep, q: int | None = None,
+                 use_kernel: str = "auto"):
+        # sep: a SeparableLattice whose band arrays are f64. With ``q``
+        # (the operator's quadrature order) the Pallas DS kernel tables
+        # are built too and ``apply``/``constrained_apply_top`` dispatch
+        # to ``kernels.sep_apply_ds`` on TPU ("auto"); "xla" pins the
+        # portable form, "interpret" forces the kernel in interpret mode
+        # (the CPU test hook).
         self.p = sep.p
         self.Dx, self.Dy, self.Dz = sep.Dx, sep.Dy, sep.Dz
         self.periodic = sep.periodic
@@ -168,6 +190,56 @@ class SeparableDS:
             hi = b64.astype(np.float32)
             lo = (b64 - hi.astype(np.float64)).astype(np.float32)
             self.bands[name] = DS(jnp.asarray(hi), jnp.asarray(lo))
+        self._kern = None
+        if q is not None and use_kernel != "xla":
+            self._init_kernel(sep, q, use_kernel)
+
+    def _init_kernel(self, sep, q: int, use_kernel: str) -> None:
+        import os
+
+        import jax as _jax
+
+        from .elements import basis_1d
+        from .kernels.lattice_apply import aligned_lanes
+        from .kernels.sep_apply_ds import (build_sep_tables_ds,
+                                           ds_vmem_estimate)
+        p = self.p
+        px = bool(self.periodic[0])
+        interpret = use_kernel == "interpret"
+        if os.environ.get("LPFEM_DS_KERNEL", "1") == "0":
+            return                      # escape hatch: pin the XLA form
+        if not interpret:
+            try:
+                if _jax.devices()[0].platform != "tpu":
+                    return
+            except Exception:
+                return
+        if sep.spacings is None:
+            return
+        nex = (self.Dx - (0 if px else 1)) // p
+        ney = (self.Dy - 1) // p
+        nez = (self.Dz - 1) // p
+        Dxp = self.Dx if px else aligned_lanes(self.Dx)
+        if px and not interpret and aligned_lanes(self.Dx) != self.Dx:
+            return                      # periodic x needs unpadded lanes
+        if not interpret and \
+                ds_vmem_estimate(p, self.Dy, Dxp) > 100 * 1024 * 1024:
+            return                      # live set past VMEM; keep XLA
+        cx, cy, ztab = build_sep_tables_ds(sep, basis_1d(p, q), Dxp)
+        self._kcx = jnp.asarray(cx)
+        self._kcy = jnp.asarray(cy)
+        self._kzt = jnp.asarray(ztab)
+        self._kern = dict(dims=(nex, ney, nez), periodic=(px, False),
+                          interpret=interpret)
+
+    def _kernel_apply(self, x: DS, ess_top: bool) -> DS:
+        from .kernels.sep_apply_ds import lattice_sep_apply_ds
+        k = self._kern
+        yh, yl = lattice_sep_apply_ds(
+            x.hi, x.lo, self._kcx, self._kcy, self._kzt, p=self.p,
+            dims=k["dims"], periodic=k["periodic"], ess_top=ess_top,
+            interpret=k["interpret"])
+        return DS(yh, yl)
 
     def register_params(self, bp) -> None:
         # band tables are [2p+1, D] — small, but register the big ones
@@ -175,6 +247,8 @@ class SeparableDS:
             setattr(self, f"_band_{name}_hi", d.hi)
             setattr(self, f"_band_{name}_lo", d.lo)
             bp.register(self, f"_band_{name}_hi", f"_band_{name}_lo")
+        if self._kern is not None:
+            bp.register(self, "_kcx", "_kcy", "_kzt")
 
     def _band(self, name: str) -> DS:
         # read through the (possibly params-threaded) attributes
@@ -238,6 +312,8 @@ class SeparableDS:
                             self._axis(b, self._band("Kz"), 0))
 
     def apply(self, x: DS) -> DS:
+        if self._kern is not None:
+            return self._kernel_apply(x, ess_top=False)
         sh = (self.Dz, self.Dy, self.Dx)
         u = DS(x.hi.reshape(sh), x.lo.reshape(sh))
         y = self.apply3(u)
@@ -246,6 +322,8 @@ class SeparableDS:
     def constrained_apply_top(self, x: DS) -> DS:
         """Identity rows/cols on the top z-plane (free-surface essential
         set), the DS twin of ``SeparableLattice.constrained_apply_top``."""
+        if self._kern is not None:
+            return self._kernel_apply(x, ess_top=True)
         sh = (self.Dz, self.Dy, self.Dx)
         uh = x.hi.reshape(sh)
         ul = x.lo.reshape(sh)

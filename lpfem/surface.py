@@ -228,7 +228,7 @@ class FreeSurfaceOperator:
                 and getattr(op_hi, "sep", None) is not None
                 and getattr(op, "_ess_top", False)):
             from .ds import SeparableDS
-            self._ds_op = SeparableDS(op_hi.sep)
+            self._ds_op = SeparableDS(op_hi.sep, q=op_hi.q)
         if hi_apply == "ds" and self._ds_op is None:
             raise ValueError("hi_apply='ds' needs dtype='mixed' on a "
                              "separable lattice with the top-plane "

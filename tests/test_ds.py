@@ -151,3 +151,57 @@ def test_hi_apply_auto_gates_on_tolerance_and_platform():
     forced_tight = Problem(preset("pf_linear_periodic", cg_rtol_sq=1e-24,
                                   hi_apply="ds", **kw))
     assert forced_tight.fso._ds_op is not None
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("ess_top", [False, True])
+def test_ds_pallas_kernel_structure_matches_f64(periodic, ess_top):
+    """The Pallas DS sep kernel (interpret mode, f64 streams) must
+    reproduce the f64 assembled separable operator to 1e-13: this pins
+    every structural element — window blocking, shared-plane carry fold,
+    coefficient tables, the top-plane constraint. The f32 EFT arithmetic
+    itself cannot be validated through XLA:CPU (its fusion pass duplicates
+    multiplies into consumers and LLVM fma-contracts them, silently
+    demoting any jitted DS stream to plain f32 — see the kernel module
+    docstring); it is covered by the eager primitive tests above and the
+    on-chip check (scripts/ds_kernel_chipcheck.py)."""
+    prob = _sep_problem(periodic=periodic)
+    from lpfem.kernels.sep_apply_ds import lattice_sep_apply_ds
+    from lpfem.operators import SeparableLattice
+    sep64 = SeparableLattice.build(prob.space, prob.op.q, jnp.float64)
+    rng = np.random.default_rng(7)
+    x64 = jnp.asarray(rng.standard_normal(prob.space.n_dofs), jnp.float64)
+    y64 = (sep64.constrained_apply_top(x64) if ess_top
+           else sep64.apply(x64))
+    ds_op = SeparableDS(sep64, q=prob.op.q, use_kernel="interpret")
+    assert ds_op._kern is not None
+    xds = ds_from_f64(x64)
+    k = ds_op._kern
+    yh, yl = lattice_sep_apply_ds(
+        xds.hi, xds.lo, ds_op._kcx, ds_op._kcy, ds_op._kzt, p=sep64.p,
+        dims=k["dims"], periodic=k["periodic"], ess_top=ess_top,
+        interpret=True, dtype=jnp.float64)
+    yds = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+    rel = float(jnp.linalg.norm(yds - y64) / jnp.linalg.norm(y64))
+    assert rel < 1e-13, rel
+
+
+def test_ds_pallas_kernel_wiring_dispatch():
+    """SeparableDS(use_kernel='interpret') must dispatch apply /
+    constrained_apply_top through the Pallas kernel; through XLA:CPU the
+    compensation is fma-demoted (see above), so the contract here is only
+    f32-grade agreement — the dispatch and layout, not the EFT."""
+    prob = _sep_problem(periodic=True)
+    from lpfem.operators import SeparableLattice
+    sep64 = SeparableLattice.build(prob.space, prob.op.q, jnp.float64)
+    rng = np.random.default_rng(8)
+    x64 = jnp.asarray(rng.standard_normal(prob.space.n_dofs), jnp.float64)
+    ds_op = SeparableDS(sep64, q=prob.op.q, use_kernel="interpret")
+    assert ds_op._kern is not None
+    for ess in (False, True):
+        y64 = (sep64.constrained_apply_top(x64) if ess else sep64.apply(x64))
+        xds = ds_from_f64(x64)
+        yds = ds_to_f64(ds_op.constrained_apply_top(xds) if ess
+                        else ds_op.apply(xds))
+        rel = float(jnp.linalg.norm(yds - y64) / jnp.linalg.norm(y64))
+        assert rel < 1e-6, rel
